@@ -1,0 +1,152 @@
+"""Hash-scheme dispatch shared by index build and search.
+
+Mirrors the three call-site behaviors:
+  - syncmer scheme: dedup set per sequence (search: taxor_search.cpp:219-238;
+    build: compute_hashes.cpp:81-111),
+  - minimizer / plain k-mer scheme: duplicates kept at search time
+    (taxor_search.cpp:240-259), dedup set at build time,
+  - optional FracMinHash scaling: keep hash h iff
+    wyhash64(h) <= 2^64 / scaling, compared in double precision exactly like
+    the reference (taxor_search.cpp:227-233: ``double(v) <=
+    double(UINT64_MAX) / double(scaling)``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..utils.u64np import wyhash64
+from .encode import encode_dna4, encode_dna5
+from .minimizer import minimiser_hashes
+from .syncmer import syncmer_hashes_batch, t_syncmer_default
+
+U64 = np.uint64
+
+
+@dataclass(frozen=True)
+class HashScheme:
+    """Scheme parameters as stored in the index header
+    (src/main/index.hpp:32-44)."""
+
+    kmer_size: int = 20
+    window_size: int = 20
+    syncmer_size: int = 10
+    t_syncmer: int = 6
+    use_syncmer: bool = True
+    scaling: int = 1
+
+    @staticmethod
+    def make(kmer_size: int, syncmer_size: int, window_size: int | None,
+             use_syncmer: bool, scaling: int = 1) -> "HashScheme":
+        if window_size is None or window_size < kmer_size:
+            window_size = kmer_size
+        return HashScheme(
+            kmer_size=kmer_size,
+            window_size=window_size,
+            syncmer_size=syncmer_size,
+            t_syncmer=t_syncmer_default(kmer_size, syncmer_size),
+            use_syncmer=use_syncmer,
+            scaling=scaling,
+        )
+
+
+def scaling_filter(hashes: np.ndarray, scaling: int) -> np.ndarray:
+    """FracMinHash downsampling with the reference's double-precision
+    compare."""
+    if scaling <= 1 or hashes.size == 0:
+        return hashes
+    v = wyhash64(hashes).astype(np.float64)
+    limit = np.float64(0xFFFFFFFFFFFFFFFF) / np.float64(scaling)
+    return hashes[v <= limit]
+
+
+def _syncmer_sets_batch(seqs: list[bytes], scheme: HashScheme,
+                        dna5: bool) -> list[np.ndarray]:
+    """Deduplicated syncmer hashes per sequence, batched through the
+    vectorized scanner."""
+    if not seqs:
+        return []
+    enc = encode_dna5 if dna5 else encode_dna4
+    codes = [enc(s) for s in seqs]
+    lengths = np.array([c.shape[0] for c in codes], dtype=np.int64)
+    L = max(1, int(lengths.max()))
+    batch = np.full((len(codes), L), 4, dtype=np.uint8)
+    for i, c in enumerate(codes):
+        batch[i, : c.shape[0]] = c
+    h, v = syncmer_hashes_batch(batch, lengths, scheme.kmer_size,
+                                scheme.syncmer_size, scheme.t_syncmer)
+    return [np.unique(h[i][v[i]]) for i in range(len(codes))]
+
+
+def search_hashes(seqs: list[bytes], scheme: HashScheme) -> list[np.ndarray]:
+    """Per-read query hashes.  Reads come through dna4 (ambiguity -> A,
+    taxor_search.cpp:181).  Syncmers are dedup'd; minimizer/k-mer hashes
+    keep duplicates."""
+    if scheme.use_syncmer:
+        out = _syncmer_sets_batch(seqs, scheme, dna5=False)
+    else:
+        out = [
+            minimiser_hashes(encode_dna4(s), scheme.kmer_size,
+                             scheme.window_size)
+            for s in seqs
+        ]
+    if scheme.scaling > 1:
+        out = [scaling_filter(h, scheme.scaling) for h in out]
+    return out
+
+
+def build_hashes(record_seqs: list[bytes], scheme: HashScheme) -> np.ndarray:
+    """Union hash set over the records of one reference genome (user bin),
+    reproducing compute_hashes (src/hixf/build/compute_hashes.cpp:76-142)
+    including the N-strip / trailing-base quirk (see encode.build_record_seq).
+    Returns a sorted unique uint64 array."""
+    from .encode import build_record_seq
+
+    parts: list[np.ndarray] = []
+    if scheme.use_syncmer:
+        trimmed = [build_record_seq(s) for s in record_seqs]
+        parts = _syncmer_sets_batch(trimmed, scheme, dna5=False)
+    else:
+        # minimizer path reads records directly (no N strip) through dna4
+        for s in record_seqs:
+            parts.append(
+                minimiser_hashes(encode_dna4(s), scheme.kmer_size,
+                                 scheme.window_size)
+            )
+    if parts:
+        hashes = np.unique(np.concatenate(parts))
+    else:
+        hashes = np.zeros(0, dtype=U64)
+    if scheme.scaling > 1:
+        hashes = scaling_filter(hashes, scheme.scaling)
+    return hashes
+
+
+def count_hashes_for_sketch(record_seqs: list[bytes],
+                            scheme: HashScheme) -> np.ndarray:
+    """Hashes fed to the HLL cardinality sketch at layout time.
+
+    The syncmer count path reads through dna5 (N resets the scanner,
+    taxor_build.cpp:367,394-396) — unlike the index-hash path.  The
+    minimizer count path in the reference hashes dna5 ranks (radix 5);
+    we use the dna4 2-bit encoding instead (documented divergence — the
+    sketch only drives layout sizing, never classification results).
+    """
+    parts: list[np.ndarray] = []
+    if scheme.use_syncmer:
+        parts = _syncmer_sets_batch(record_seqs, scheme, dna5=True)
+    else:
+        for s in record_seqs:
+            parts.append(
+                minimiser_hashes(encode_dna4(s), scheme.kmer_size,
+                                 scheme.window_size)
+            )
+    if parts:
+        hashes = np.concatenate(parts)
+    else:
+        hashes = np.zeros(0, dtype=U64)
+    if scheme.scaling > 1:
+        hashes = scaling_filter(hashes, scheme.scaling)
+    return hashes
