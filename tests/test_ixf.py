@@ -1,0 +1,145 @@
+"""IXF: peeling construction, no-false-negative property, FPR bound,
+count semantics, retry-on-failure determinism, device probe parity."""
+
+import numpy as np
+import pytest
+
+from taxor_tpu.ixf.xor_filter import (
+    IXF,
+    build_ixf,
+    compute_probes,
+    ixf_geometry,
+)
+from taxor_tpu.utils.u64np import XOR_SEED0
+
+
+def rand_keys(rng, n):
+    return rng.integers(0, 2**64, n, dtype=np.uint64)
+
+
+class TestGeometry:
+    def test_sizing_matches_reference_formula(self):
+        # arrayLength = 32 + 1.23*size (int), blockLength = arrayLength/3
+        bl, slots = ixf_geometry(1000)
+        assert bl == (32 + int(1.23 * 1000) + (1262 - 32 - 1230)) // 3 or bl == 420
+        assert bl == int(32 + 1.23 * 1000) // 3
+        assert slots == 3 * bl
+
+    def test_empty(self):
+        bl, slots = ixf_geometry(0)
+        assert bl == 10 and slots == 30
+
+
+class TestBuild:
+    def test_no_false_negatives_single_bin(self):
+        rng = np.random.default_rng(0)
+        keys = rand_keys(rng, 5000)
+        ixf = build_ixf([keys])
+        member = ixf.bulk_membership(keys)
+        assert member[:, 0].all()
+
+    def test_fpr_bound(self):
+        rng = np.random.default_rng(1)
+        keys = rand_keys(rng, 5000)
+        ixf = build_ixf([keys])
+        probes = rand_keys(rng, 200000)
+        fpr = ixf.bulk_membership(probes)[:, 0].mean()
+        assert fpr < 0.008  # uint8 fingerprints -> ~1/256
+
+    def test_multi_bin_counts(self):
+        rng = np.random.default_rng(2)
+        nb = 7
+        bins = [rand_keys(rng, int(rng.integers(10, 800))) for _ in range(nb)]
+        ixf = build_ixf(bins)
+        assert ixf.bin_count == nb
+        # each bin contains its own keys
+        for b, keys in enumerate(bins):
+            assert ixf.bulk_membership(keys)[:, b].all()
+        # counts equal brute force membership sums
+        queries = np.unique(
+            np.concatenate([bins[0][:50], rand_keys(rng, 500)])
+        )
+        counts = ixf.bulk_count(queries)
+        member = ixf.bulk_membership(queries)
+        assert (counts == member.sum(axis=0)).all()
+        # bin 0 must count at least its 50 planted keys
+        assert counts[0] >= 50
+
+    def test_empty_bins_ok(self):
+        rng = np.random.default_rng(3)
+        bins = [rand_keys(rng, 100), np.zeros(0, np.uint64), rand_keys(rng, 50)]
+        ixf = build_ixf(bins)
+        assert ixf.bulk_membership(bins[0])[:, 0].all()
+        assert ixf.bulk_membership(bins[2])[:, 2].all()
+
+    def test_deterministic(self):
+        rng = np.random.default_rng(4)
+        keys = rand_keys(rng, 1000)
+        a = build_ixf([keys])
+        b = build_ixf([keys])
+        assert a.seed == b.seed
+        assert (a.fingerprints == b.fingerprints).all()
+
+    def test_capacity_sizing(self):
+        # {bin_count, max_elements} ctor form: geometry fixed by capacity
+        rng = np.random.default_rng(5)
+        bins = [rand_keys(rng, 100), rand_keys(rng, 10)]
+        ixf = build_ixf(bins, max_elements_per_bin=500)
+        bl, slots = ixf_geometry(500)
+        assert ixf.block_length == bl and ixf.slots == slots
+
+    def test_overfull_bin_raises(self):
+        rng = np.random.default_rng(6)
+        with pytest.raises(ValueError):
+            build_ixf([rand_keys(rng, 100)], max_elements_per_bin=50)
+
+    def test_probe_layout(self):
+        # probes stay inside their thirds
+        rng = np.random.default_rng(7)
+        keys = rand_keys(rng, 1000)
+        bl = 313
+        pos, fpr, _ = compute_probes(keys, XOR_SEED0, bl)
+        for i in range(3):
+            assert (pos[:, i] >= i * bl).all()
+            assert (pos[:, i] < (i + 1) * bl).all()
+
+
+class TestDeviceProbe:
+    def test_count_xla_matches_oracle(self):
+        import jax.numpy as jnp
+
+        from taxor_tpu.device.probe import count_xla, pad_fingerprints
+
+        rng = np.random.default_rng(8)
+        nb = 5
+        bins = [rand_keys(rng, 300) for _ in range(nb)]
+        ixf = build_ixf(bins)
+
+        reads = [
+            np.unique(np.concatenate([bins[i % nb][:40], rand_keys(rng, 100)]))
+            for i in range(6)
+        ]
+        H = max(r.shape[0] for r in reads)
+        R = len(reads)
+        pos = np.zeros((R, H, 3), dtype=np.int32)
+        fpr = np.zeros((R, H), dtype=np.uint8)
+        mask = np.zeros((R, H), dtype=bool)
+        for r, keys in enumerate(reads):
+            p, f, _ = compute_probes(keys, ixf.seed, ixf.block_length)
+            pos[r, : keys.shape[0]] = p
+            fpr[r, : keys.shape[0]] = f
+            mask[r, : keys.shape[0]] = True
+
+        fp_dev = jnp.asarray(pad_fingerprints(ixf.fingerprints))
+        counts = np.asarray(
+            count_xla(fp_dev, jnp.asarray(pos), jnp.asarray(fpr),
+                      jnp.asarray(mask), hash_chunk=32)
+        )
+        for r, keys in enumerate(reads):
+            expect = ixf.bulk_count(keys)
+            np.testing.assert_array_equal(counts[r, :nb], expect)
+            # padded (all-zero) columns behave like the reference's unused
+            # bins: they "hit" exactly the hashes whose fingerprint is 0
+            _, f, _ = compute_probes(keys, ixf.seed, ixf.block_length)
+            nzero = int((f == 0).sum())
+            assert (counts[r, nb:] == nzero).all()
