@@ -1,0 +1,138 @@
+"""taxor build — construct a TaxorIndex from reference FASTAs + taxonomy.
+
+Replicates src/main/taxor_build.cpp:545-597:
+  1. parse the 6-column taxonomy TSV(s),
+  2. map each accession to its genome file by scanning the input
+     sequence dirs (file stem's first two '_'-separated parts form the
+     accession, taxor_build.cpp:238-266),
+  3. compute a layout (HLL counting + hierarchical DP, or flat),
+  4. hierarchical HIXF build, record per-species user_bin + seq_len
+     (taxor_build.cpp:516-527),
+  5. serialize the index.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..hash.schemes import HashScheme
+from ..hixf.build import build_hixf_from_layout
+from ..hixf.index import TaxorIndex, save_index
+from ..hixf.layout import LayoutNode, flat_layout, write_layout
+from ..io.fastx import iter_fastx
+from ..io.taxonomy import Species, parse_refseq_taxonomy_file
+
+
+@dataclass
+class BuildConfig:
+    input_file: str = ""
+    input_sequence_dir: str = ""
+    output_filename: str = ""
+    kmer_size: int = 20
+    syncmer_size: int = 10
+    window_size: int = 0  # hidden flag; 0/“<k” means plain k-mer
+    scaling: int = 1
+    threads: int = 1
+    use_syncmer: bool = False
+    layout_mode: str = "auto"  # 'auto' (DP) | 'flat'
+    layout_file: str = "binning.out"
+    tmax: int = 4096
+
+
+def sanity_checks(config: BuildConfig) -> None:
+    if config.use_syncmer and config.kmer_size > 30:
+        raise ValueError(
+            "The chosen k-mer size is too large for the syncmer scheme. "
+            "Please choose a k-mer size <= 30 or use the minimizer scheme"
+        )
+
+
+def file_list(input_folders: list[str]) -> dict[str, str]:
+    """accession -> genome file path (taxor_build.cpp:238-266)."""
+    result: dict[str, str] = {}
+    for folder in input_folders:
+        for name in sorted(os.listdir(folder)):
+            path = os.path.join(folder, name)
+            if not os.path.isfile(path):
+                continue
+            stem = os.path.splitext(name)[0]
+            parts = stem.split("_")
+            if len(parts) > 1:
+                accession = parts[0] + "_" + parts[1]
+                result.setdefault(accession, path)
+    return result
+
+
+def create_filename_clusters(
+    config: BuildConfig, orgs: list[Species]
+) -> tuple[dict[str, list[str]], dict[str, int]]:
+    """accession -> [files]; file path -> species index
+    (taxor_build.cpp:268-293)."""
+    folders = config.input_sequence_dir.split(",")
+    files = file_list(folders)
+    clusters: dict[str, list[str]] = {}
+    user_bin_map: dict[str, int] = {}
+    for org_index, org in enumerate(orgs):
+        if org.accession_id not in files:
+            raise ValueError(
+                f"Could not find a genome file for {org.accession_id}"
+            )
+        filepath = files[org.accession_id]
+        clusters.setdefault(org.accession_id, []).append(filepath)
+        user_bin_map[filepath] = org_index
+    return clusters, user_bin_map
+
+
+def make_layout(
+    config: BuildConfig,
+    clusters: dict[str, list[str]],
+    scheme: HashScheme,
+) -> LayoutNode:
+    ordered_files = [clusters[acc][0] for acc in clusters]
+    if config.layout_mode == "flat":
+        return flat_layout(ordered_files)
+    from ..hixf.binning import compute_layout
+
+    return compute_layout(clusters, scheme, tmax=config.tmax,
+                          threads=config.threads)
+
+
+def run_build(config: BuildConfig) -> TaxorIndex:
+    sanity_checks(config)
+
+    orgs: list[Species] = []
+    for f in config.input_file.split(","):
+        orgs.extend(parse_refseq_taxonomy_file(f))
+
+    clusters, user_bin_map = create_filename_clusters(config, orgs)
+
+    scheme = HashScheme.make(
+        kmer_size=config.kmer_size,
+        syncmer_size=config.syncmer_size,
+        window_size=config.window_size or config.kmer_size,
+        use_syncmer=config.use_syncmer,
+        scaling=config.scaling,
+    )
+
+    layout = make_layout(config, clusters, scheme)
+    if config.layout_file:
+        write_layout(layout, config.layout_file)
+
+    hixf, _ = build_hixf_from_layout(layout, scheme)
+
+    # per-species bookkeeping (taxor_build.cpp:516-527)
+    for ub, joined in enumerate(hixf.user_bin_filenames):
+        first_file = joined.split(";")[0]
+        org_index = user_bin_map[first_file]
+        orgs[org_index].user_bin = ub
+        orgs[org_index].seq_len = sum(
+            len(rec.seq) for f in joined.split(";") for rec in iter_fastx(f)
+        )
+
+    index = TaxorIndex(scheme=scheme, species=orgs, hixf=hixf)
+    if config.output_filename:
+        save_index(config.output_filename, index)
+    return index

@@ -1,0 +1,173 @@
+"""Level-synchronous HIXF traversal on device.
+
+The reference recurses per read through the IXF tree
+(bulk_contains_impl, hierarchical_interleaved_xor_filter.hpp:304-340).
+TPU-native formulation: evaluate the tree breadth-first; for each IXF run
+ONE batched probe kernel over all reads, masked by a per-read "active"
+vector derived from the parent merged-bin sums.  Per-bin counts are
+segment-summed into user-bin runs with an int matmul (MXU-friendly
+one-hot), descent decisions and final per-user-bin assembly are cheap
+[R, runs] reductions.
+
+The probe positions/fingerprints depend on each IXF's (seed, block_length),
+so they are precomputed per IXF from the uint64 hash values — host numpy
+for now (32-bit device variant is a later optimization).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..hixf.container import HIXF
+from ..ixf.xor_filter import compute_probes
+from .probe import count_xla, pad_fingerprints
+
+
+@dataclass
+class _DeviceIXF:
+    fp: jax.Array  # uint8 [slots, bins_padded]
+    seed: int
+    block_length: int
+    bins: int
+    run_onehot: jax.Array  # float32 [bins_padded, n_runs]
+    run_users: np.ndarray  # int64 [n_runs], -1 for merged runs
+    run_children: np.ndarray  # int64 [n_runs], child ixf id for merged runs
+
+
+class DeviceHIXF:
+    """Device-resident HIXF with BFS traversal metadata."""
+
+    def __init__(self, hixf: HIXF):
+        self.hixf = hixf
+        self.num_user_bins = hixf.num_user_bins
+        self.dfs_rank = hixf.user_bin_dfs_order()
+        self.ixfs: list[_DeviceIXF] = []
+        for i, ixf in enumerate(hixf.ixfs):
+            starts, ends, users = hixf.runs_of_ixf(i)
+            fp = pad_fingerprints(ixf.fingerprints)
+            n_runs = starts.shape[0]
+            onehot = np.zeros((fp.shape[1], n_runs), dtype=np.float32)
+            for r, (s, e) in enumerate(zip(starts, ends)):
+                onehot[s:e, r] = 1.0
+            children = np.array(
+                [
+                    int(hixf.next_ixf_id[i][int(s)]) if u < 0 else -1
+                    for s, u in zip(starts, users)
+                ],
+                dtype=np.int64,
+            )
+            self.ixfs.append(
+                _DeviceIXF(
+                    fp=jnp.asarray(fp),
+                    seed=ixf.seed,
+                    block_length=ixf.block_length,
+                    bins=ixf.bin_count,
+                    run_onehot=jnp.asarray(onehot),
+                    run_users=users,
+                    run_children=children,
+                )
+            )
+        # BFS order from root (index 0); children discovered via run_children
+        order: list[int] = [0]
+        seen = {0}
+        q = [0]
+        while q:
+            cur = q.pop(0)
+            for child in self.ixfs[cur].run_children:
+                c = int(child)
+                if c >= 0 and c not in seen:
+                    seen.add(c)
+                    order.append(c)
+                    q.append(c)
+        self.bfs_order = order
+        # parent link: (parent_ixf, run_index_in_parent) per ixf
+        self.parent: dict[int, tuple[int, int]] = {}
+        for i in order:
+            for r, c in enumerate(self.ixfs[i].run_children):
+                if int(c) >= 0:
+                    self.parent[int(c)] = (i, r)
+
+    def counts(
+        self,
+        hashes: np.ndarray,  # uint64 [R, H] padded
+        mask: np.ndarray,  # bool [R, H]
+        thresholds: np.ndarray,  # int64 [R]
+    ):
+        """Per-read, per-user-bin (counts, emitted) as numpy arrays.
+
+        ``emitted[r, u]`` replicates the reference's emission rule: the
+        user bin's split-run sum reached the threshold AND every merged
+        bin on the path down was descended.
+        """
+        R = hashes.shape[0]
+        run_sums: dict[int, np.ndarray] = {}
+        active: dict[int, np.ndarray] = {0: np.ones(R, dtype=bool)}
+        thresholds = np.asarray(thresholds, dtype=np.int64)
+
+        for i in self.bfs_order:
+            if i not in active:  # unreachable (no merged run points here)
+                continue
+            dixf = self.ixfs[i]
+            act = active[i]
+            if not act.any():
+                run_sums[i] = np.zeros(
+                    (R, dixf.run_users.shape[0]), dtype=np.int64
+                )
+                continue
+            pos, fpr, _ = compute_probes(
+                hashes.reshape(-1), dixf.seed, dixf.block_length
+            )
+            pos = pos.reshape(R, -1, 3).astype(np.int32)
+            fpr = fpr.reshape(R, -1)
+            m = mask & act[:, None]
+            sums = _count_and_segment(
+                dixf.fp,
+                dixf.run_onehot,
+                jnp.asarray(pos),
+                jnp.asarray(fpr),
+                jnp.asarray(m),
+            )
+            run_sums[i] = np.asarray(sums).astype(np.int64)
+            # schedule children
+            for r, c in enumerate(dixf.run_children):
+                c = int(c)
+                if c < 0:
+                    continue
+                child_active = act & (run_sums[i][:, r] >= thresholds)
+                active[c] = child_active
+
+        counts = np.zeros((R, self.num_user_bins), dtype=np.int64)
+        emitted = np.zeros((R, self.num_user_bins), dtype=bool)
+        for i in self.bfs_order:
+            if i not in run_sums:
+                continue
+            act = active.get(i)
+            if act is None or not act.any():
+                continue
+            users = self.ixfs[i].run_users
+            leaf = users >= 0
+            if not leaf.any():
+                continue
+            s = run_sums[i][:, leaf]
+            u = users[leaf]
+            emit = act[:, None] & (s >= thresholds[:, None])
+            counts[:, u] = np.where(emit, s, counts[:, u])
+            emitted[:, u] |= emit
+        return counts, emitted
+
+
+def _count_and_segment(fp, onehot, pos, fpr, mask):
+    return _count_and_segment_jit(fp, onehot, pos, fpr, mask)
+
+
+@jax.jit
+def _count_and_segment_jit(fp, onehot, pos, fpr, mask):
+    c = count_xla(fp, pos, fpr, mask)  # int32 [R, bins_padded]
+    # exact for counts < 2^24; hash counts per read are far below that
+    return jnp.dot(
+        c.astype(jnp.float32), onehot, preferred_element_type=jnp.float32
+    ).astype(jnp.int32)

@@ -1,0 +1,209 @@
+"""The taxor-search pipeline: query reads against a TaxorIndex.
+
+Replicates taxor::search (src/main/taxor_search.cpp:153-360):
+  - reads processed in 1024-record chunks,
+  - per read: hash extraction -> per-read threshold -> HIXF membership ->
+    keep hits >= 0.8 * max count -> TSV rows,
+  - output columns (taxor_search.cpp:268-307):
+      #QUERY_NAME ACCESSION REFERENCE_NAME TAXID REF_LEN QUERY_LEN
+      QHASH_COUNT QHASH_MATCH TAX_STR TAX_ID_STR
+    no-hit rows are 6 columns: id, -, -, -, -, query_len,
+  - multi query files x multi index files share one output + header
+    (taxor_search.cpp:340-360).
+
+Engines:
+  - 'device': batched level-synchronous traversal on the JAX default
+    backend (TPU in production, CPU in tests),
+  - 'host': the numpy oracle recursion (bit-equal reference semantics,
+    used for cross-checks).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..hash.schemes import search_hashes
+from ..hixf.index import TaxorIndex, load_index
+from ..io.fastx import iter_fastx_chunks
+from .thresholds import Thresholder
+
+
+@dataclass
+class SearchConfig:
+    index_file: str = ""
+    query_file: str = ""
+    report_file: str = "search.out"
+    threads: int = 1  # accepted for CLI parity; batching replaces threads
+    percentage: float = -1.0
+    error_rate: float = 0.04
+    engine: str = "device"
+    batch_size: int = 1024
+    write_time: bool = False
+
+
+HEADER = (
+    "#QUERY_NAME\tACCESSION\tREFERENCE_NAME\tTAXID\tREF_LEN\tQUERY_LEN\t"
+    "QHASH_COUNT\tQHASH_MATCH\tTAX_STR\tTAX_ID_STR\n"
+)
+
+
+def _format_rows(
+    rec_id: str,
+    seq_len: int,
+    hash_count: int,
+    pairs: list[tuple[int, int]],
+    index: TaxorIndex,
+    ub2sp: dict[int, int],
+) -> str:
+    if not pairs:
+        return f"{rec_id}\t-\t-\t-\t-\t{seq_len}\n"
+    max_count = max(c for _, c in pairs)
+    out = []
+    for user_bin, count in pairs:
+        if float(count) < float(max_count) * 0.8:
+            continue
+        sp = index.species[ub2sp[user_bin]]
+        out.append(
+            f"{rec_id}\t{sp.accession_id}\t{sp.organism_name}\t{sp.taxid}\t"
+            f"{sp.seq_len}\t{seq_len}\t{hash_count}\t{count}\t"
+            f"{sp.taxnames_string}\t{sp.taxid_string}\n"
+        )
+    return "".join(out)
+
+
+def search_single(
+    index: TaxorIndex,
+    query_file: str,
+    out_handle,
+    config: SearchConfig,
+    device_hixf=None,
+) -> dict:
+    """Search one query file against one loaded index; returns phase
+    timings (the <out>.time analog, taxor_search.cpp:328-336)."""
+    scheme = index.scheme
+    thresholder = Thresholder.make(
+        kmer_size=scheme.kmer_size,
+        window_size=scheme.window_size,
+        error_rate=config.error_rate,
+        percentage=config.percentage,
+        use_syncmer=scheme.use_syncmer,
+    )
+    ub2sp = index.user_bin_to_species()
+    dfs_rank = index.hixf.user_bin_dfs_order()
+
+    reads_io = 0.0
+    compute = 0.0
+    t_io = time.perf_counter()
+    for chunk in iter_fastx_chunks(query_file, config.batch_size):
+        reads_io += time.perf_counter() - t_io
+        t0 = time.perf_counter()
+        seqs = [rec.seq for rec in chunk]
+        hash_lists = search_hashes(seqs, scheme)
+        hash_counts = [h.shape[0] for h in hash_lists]
+        thresholds = np.array(
+            [
+                thresholder.get(
+                    hc,
+                    float(hc)
+                    / (float(len(s)) - float(scheme.kmer_size) + 1.0)
+                    if len(s) != scheme.kmer_size - 1
+                    else 0.0,
+                )
+                for hc, s in zip(hash_counts, seqs)
+            ],
+            dtype=np.int64,
+        )
+
+        if config.engine == "host":
+            all_pairs = [
+                index.hixf.membership(h, int(t))
+                for h, t in zip(hash_lists, thresholds)
+            ]
+        else:
+            all_pairs = _device_pairs(
+                device_hixf, hash_lists, thresholds, dfs_rank
+            )
+
+        rows = []
+        for rec, hc, pairs in zip(chunk, hash_counts, all_pairs):
+            rows.append(
+                _format_rows(rec.id, len(rec.seq), hc, pairs, index, ub2sp)
+            )
+        out_handle.write("".join(rows))
+        compute += time.perf_counter() - t0
+        t_io = time.perf_counter()
+    return {"reads_io": reads_io, "compute": compute}
+
+
+def _device_pairs(device_hixf, hash_lists, thresholds, dfs_rank):
+    R = len(hash_lists)
+    H = max(1, max((h.shape[0] for h in hash_lists), default=1))
+    # bucket H to limit recompilation
+    Hpad = 1 << (H - 1).bit_length()
+    hashes = np.zeros((R, Hpad), dtype=np.uint64)
+    mask = np.zeros((R, Hpad), dtype=bool)
+    for r, h in enumerate(hash_lists):
+        hashes[r, : h.shape[0]] = h
+        mask[r, : h.shape[0]] = True
+    counts, emitted = device_hixf.counts(hashes, mask, thresholds)
+    pairs_per_read = []
+    for r in range(R):
+        ubs = np.nonzero(emitted[r])[0]
+        order = np.argsort(dfs_rank[ubs], kind="stable")
+        pairs_per_read.append(
+            [(int(u), int(counts[r, u])) for u in ubs[order]]
+        )
+    return pairs_per_read
+
+
+def run_search(config: SearchConfig) -> None:
+    """Outer product over comma-separated query and index lists
+    (taxor_search.cpp:340-360)."""
+    from ..device.hixf_search import DeviceHIXF
+
+    index_files = config.index_file.split(",")
+    query_files = config.query_file.split(",")
+
+    # scheme-consistency check across indexes (taxor_search.cpp:110-137)
+    loaded = [load_index(f) for f in index_files]
+    schemes = {
+        (
+            ix.scheme.kmer_size,
+            ix.scheme.window_size,
+            ix.scheme.scaling,
+            ix.scheme.syncmer_size,
+            ix.scheme.t_syncmer,
+            ix.scheme.use_syncmer,
+        )
+        for ix in loaded
+    }
+    if len(schemes) > 1:
+        raise ValueError(
+            "At least two index files have been created with different "
+            "kmer selection schemes"
+        )
+
+    with open(config.report_file, "w") as out:
+        out.write(HEADER)
+        timings = {"index_io": 0.0, "reads_io": 0.0, "compute": 0.0}
+        for query in query_files:
+            for index in loaded:
+                dhixf = None
+                if config.engine == "device":
+                    t0 = time.perf_counter()
+                    dhixf = DeviceHIXF(index.hixf)
+                    timings["index_io"] += time.perf_counter() - t0
+                t = search_single(index, query, out, config, dhixf)
+                timings["reads_io"] += t["reads_io"]
+                timings["compute"] += t["compute"]
+
+    if config.write_time:
+        with open(config.report_file + ".time", "w") as fh:
+            fh.write("Index I/O\tReads I/O\tCompute\n")
+            fh.write(
+                f"{timings['index_io']:.2f}\t{timings['reads_io']:.2f}\t"
+                f"{timings['compute']:.2f}"
+            )

@@ -1,0 +1,147 @@
+"""End-to-end slice: build a flat index from synthetic genomes, search
+simulated reads, check planted-truth recovery and host/device engine
+agreement, index save/load roundtrip, layout file roundtrip."""
+
+import os
+
+import numpy as np
+import pytest
+
+from taxor_tpu.apps.build import BuildConfig, run_build
+from taxor_tpu.hixf.index import load_index, save_index
+from taxor_tpu.hixf.layout import flat_layout, parse_layout, write_layout
+from taxor_tpu.search.pipeline import SearchConfig, run_search
+
+from .util import make_reads, make_ref_set
+
+
+@pytest.fixture(scope="module")
+def ref_set(tmp_path_factory):
+    tmp = str(tmp_path_factory.mktemp("refs"))
+    rng = np.random.default_rng(42)
+    tsv, gdir, genomes = make_ref_set(tmp, rng, n_species=6,
+                                      genome_len=20000)
+    reads = make_reads(tmp, rng, genomes, n_reads_per_genome=4,
+                       read_len=1500, error_rate=0.02)
+    return tmp, tsv, gdir, genomes, reads
+
+
+@pytest.fixture(scope="module")
+def built_index(ref_set):
+    tmp, tsv, gdir, genomes, reads = ref_set
+    out = os.path.join(tmp, "index.taxor.npz")
+    cfg = BuildConfig(
+        input_file=tsv,
+        input_sequence_dir=gdir,
+        output_filename=out,
+        kmer_size=16,
+        syncmer_size=8,
+        use_syncmer=True,
+        layout_mode="flat",
+        layout_file=os.path.join(tmp, "binning.out"),
+    )
+    index = run_build(cfg)
+    return out, index
+
+
+class TestBuild:
+    def test_species_bookkeeping(self, built_index):
+        _, index = built_index
+        assert len(index.species) == 6
+        assert sorted(sp.user_bin for sp in index.species) == list(range(6))
+        for sp in index.species:
+            assert sp.seq_len == 20000
+
+    def test_index_roundtrip(self, built_index, tmp_path):
+        out, index = built_index
+        loaded = load_index(out)
+        assert loaded.scheme == index.scheme
+        assert len(loaded.hixf.ixfs) == len(index.hixf.ixfs)
+        for a, b in zip(loaded.hixf.ixfs, index.hixf.ixfs):
+            assert a.seed == b.seed and a.block_length == b.block_length
+            np.testing.assert_array_equal(a.fingerprints, b.fingerprints)
+        assert [sp.accession_id for sp in loaded.species] == [
+            sp.accession_id for sp in index.species
+        ]
+
+    def test_layout_roundtrip(self, built_index, ref_set):
+        tmp = ref_set[0]
+        layout = parse_layout(os.path.join(tmp, "binning.out"))
+        assert len(layout.records) == 6
+        assert layout.num_technical_bins == 6
+        # re-emit and re-parse: stable
+        p2 = os.path.join(tmp, "binning2.out")
+        write_layout(layout, p2)
+        layout2 = parse_layout(p2)
+        assert [r.filenames for r in layout2.records] == [
+            r.filenames for r in layout.records
+        ]
+
+
+class TestSearch:
+    def _run(self, built_index, ref_set, engine, name):
+        tmp, tsv, gdir, genomes, reads = ref_set
+        out_file, _ = built_index
+        report = os.path.join(tmp, f"search_{name}.tsv")
+        run_search(SearchConfig(
+            index_file=out_file,
+            query_file=reads,
+            report_file=report,
+            engine=engine,
+        ))
+        return report
+
+    def test_planted_truth_recovered(self, built_index, ref_set):
+        report = self._run(built_index, ref_set, "host", "host")
+        with open(report) as fh:
+            lines = fh.read().splitlines()
+        assert lines[0].startswith("#QUERY_NAME")
+        rows = [l.split("\t") for l in lines[1:]]
+        assert len(rows) >= 24  # every read produces >= 1 row
+        correct = 0
+        total = 0
+        for r in rows:
+            if r[1] == "-":
+                continue
+            total += 1
+            true_acc = r[0].split("_", 1)[1]
+            if r[1] == true_acc:
+                correct += 1
+        assert total >= 20
+        assert correct / total > 0.9
+
+    def test_host_device_agree(self, built_index, ref_set):
+        host = self._run(built_index, ref_set, "host", "h2")
+        device = self._run(built_index, ref_set, "device", "d2")
+        assert open(host).read() == open(device).read()
+
+    def test_no_hit_row_format(self, built_index, ref_set, tmp_path):
+        tmp, *_ = ref_set
+        out_file, _ = built_index
+        # a read that matches nothing: random unrelated sequence
+        rng = np.random.default_rng(999)
+        from .util import write_fasta, random_genome
+
+        q = os.path.join(tmp, "nohit.fasta")
+        write_fasta(q, [("garbage read", random_genome(rng, 800))])
+        report = os.path.join(tmp, "nohit.tsv")
+        run_search(SearchConfig(index_file=out_file, query_file=q,
+                                report_file=report, engine="host"))
+        lines = open(report).read().splitlines()
+        assert len(lines) == 2
+        cols = lines[1].split("\t")
+        assert cols == ["garbage read", "-", "-", "-", "-", "800"]
+
+    def test_batch_invariance(self, built_index, ref_set):
+        # classification independent of batch size (property test, §4)
+        tmp, tsv, gdir, genomes, reads = ref_set
+        out_file, _ = built_index
+        a = os.path.join(tmp, "b1.tsv")
+        b = os.path.join(tmp, "b2.tsv")
+        run_search(SearchConfig(index_file=out_file, query_file=reads,
+                                report_file=a, engine="device",
+                                batch_size=3))
+        run_search(SearchConfig(index_file=out_file, query_file=reads,
+                                report_file=b, engine="device",
+                                batch_size=1024))
+        assert open(a).read() == open(b).read()
