@@ -17,3 +17,26 @@ Reference behavior citations use /root/reference/<path>:<line> notation.
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+
+def _setup_jax_cache() -> None:
+    """Enable the persistent compilation cache: kernel compiles through
+    shared TPU compile services can take minutes, and caching makes
+    repeat shapes near-instant."""
+    try:
+        import jax
+
+        cache_dir = _os.environ.get(
+            "TAXOR_TPU_JAX_CACHE",
+            _os.path.expanduser("~/.cache/taxor_tpu_jax"),
+        )
+        _os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+_setup_jax_cache()

@@ -29,28 +29,52 @@ from .probe import count_xla, pad_fingerprints
 
 @dataclass
 class _DeviceIXF:
-    fp: jax.Array  # uint8 [slots, bins_padded]
+    fp: jax.Array  # uint8 [slots, bins_padded] (xla) or packed int32 (pallas)
     seed: int
     block_length: int
     bins: int
     run_onehot: jax.Array  # float32 [bins_padded, n_runs]
     run_users: np.ndarray  # int64 [n_runs], -1 for merged runs
     run_children: np.ndarray  # int64 [n_runs], child ixf id for merged runs
+    engine: str = "xla"  # 'xla' | 'pallas'
+
+
+def _default_engine() -> str:
+    import jax
+
+    return "pallas" if jax.default_backend() == "tpu" else "xla"
 
 
 class DeviceHIXF:
-    """Device-resident HIXF with BFS traversal metadata."""
+    """Device-resident HIXF with BFS traversal metadata.
 
-    def __init__(self, hixf: HIXF):
+    engine 'pallas' runs the probe as the Pallas VMEM kernel (TPU); 'xla'
+    uses the gather formulation (CPU tests and oversized filters).
+    """
+
+    def __init__(self, hixf: HIXF, engine: str | None = None):
+        from .pallas_probe import choose_bin_tile4, prepare_fingerprints
+
+        engine = engine or _default_engine()
         self.hixf = hixf
         self.num_user_bins = hixf.num_user_bins
         self.dfs_rank = hixf.user_bin_dfs_order()
         self.ixfs: list[_DeviceIXF] = []
         for i, ixf in enumerate(hixf.ixfs):
             starts, ends, users = hixf.runs_of_ixf(i)
-            fp = pad_fingerprints(ixf.fingerprints)
+            ixf_engine = engine
+            if ixf_engine == "pallas":
+                packed = prepare_fingerprints(ixf.fingerprints)
+                if choose_bin_tile4(*packed.shape) is None:
+                    ixf_engine = "xla"  # exceeds VMEM; gather fallback
+                else:
+                    fp = packed
+                    bins_padded = packed.shape[1] * 4
+            if ixf_engine == "xla":
+                fp = pad_fingerprints(ixf.fingerprints)
+                bins_padded = fp.shape[1]
             n_runs = starts.shape[0]
-            onehot = np.zeros((fp.shape[1], n_runs), dtype=np.float32)
+            onehot = np.zeros((bins_padded, n_runs), dtype=np.float32)
             for r, (s, e) in enumerate(zip(starts, ends)):
                 onehot[s:e, r] = 1.0
             children = np.array(
@@ -69,6 +93,7 @@ class DeviceHIXF:
                     run_onehot=jnp.asarray(onehot),
                     run_users=users,
                     run_children=children,
+                    engine=ixf_engine,
                 )
             )
         # BFS order from root (index 0); children discovered via run_children
@@ -124,13 +149,19 @@ class DeviceHIXF:
             pos = pos.reshape(R, -1, 3).astype(np.int32)
             fpr = fpr.reshape(R, -1)
             m = mask & act[:, None]
-            sums = _count_and_segment(
-                dixf.fp,
-                dixf.run_onehot,
-                jnp.asarray(pos),
-                jnp.asarray(fpr),
-                jnp.asarray(m),
-            )
+            if dixf.engine == "pallas":
+                from .pallas_probe import probe_counts_pallas
+
+                counts = probe_counts_pallas(dixf.fp, pos, fpr, m)
+                sums = _segment_jit(counts, dixf.run_onehot)
+            else:
+                sums = _count_and_segment(
+                    dixf.fp,
+                    dixf.run_onehot,
+                    jnp.asarray(pos),
+                    jnp.asarray(fpr),
+                    jnp.asarray(m),
+                )
             run_sums[i] = np.asarray(sums).astype(np.int64)
             # schedule children
             for r, c in enumerate(dixf.run_children):
@@ -167,7 +198,12 @@ def _count_and_segment(fp, onehot, pos, fpr, mask):
 @jax.jit
 def _count_and_segment_jit(fp, onehot, pos, fpr, mask):
     c = count_xla(fp, pos, fpr, mask)  # int32 [R, bins_padded]
+    return _segment_jit(c, onehot)
+
+
+@jax.jit
+def _segment_jit(counts, onehot):
     # exact for counts < 2^24; hash counts per read are far below that
     return jnp.dot(
-        c.astype(jnp.float32), onehot, preferred_element_type=jnp.float32
+        counts.astype(jnp.float32), onehot, preferred_element_type=jnp.float32
     ).astype(jnp.int32)

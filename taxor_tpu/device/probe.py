@@ -73,7 +73,14 @@ def count_xla(
         hit = (x == 0) & msk[..., None]
         return acc + hit.sum(axis=1, dtype=jnp.int32), None
 
-    init = jnp.zeros((R, bins), dtype=jnp.int32)
+    # derive the carry from the inputs so its varying-axes type matches
+    # inside shard_map (a literal zeros carry is "unvarying" and scan
+    # rejects the mismatch)
+    init = (
+        jnp.zeros((R, bins), dtype=jnp.int32)
+        + (mask[:, 0, 0].astype(jnp.int32) * 0)[:, None]
+        + (fingerprints[0, :].astype(jnp.int32) * 0)[None, :]
+    )
     acc, _ = jax.lax.scan(
         chunk_body,
         init,

@@ -62,22 +62,68 @@ def scaling_filter(hashes: np.ndarray, scaling: int) -> np.ndarray:
     return hashes[v <= limit]
 
 
+# Long sequences are split into segments for the batched scanner.  A
+# segment is scanned with a 2k-base warm-up overlap: the scanner's state
+# (rolling k-mer/s-mer values + the w-smer window minimum) depends only on
+# the last k-1 + (w-1) < 2k bases since the previous N-reset, so emissions
+# inside the segment body are bit-identical to a monolithic scan; overlap
+# emissions duplicate and the per-sequence set dedup removes them.
+SEG_LEN = 1 << 17
+# cap on batch cells so the [rows, L] scan state stays in cache-friendly
+# memory (rows * L * ~20 bytes of state/output)
+CELL_BUDGET = 1 << 24
+
+
 def _syncmer_sets_batch(seqs: list[bytes], scheme: HashScheme,
                         dna5: bool) -> list[np.ndarray]:
     """Deduplicated syncmer hashes per sequence, batched through the
-    vectorized scanner."""
+    vectorized scanner.  Handles arbitrary length mixes by segmenting
+    long sequences and bucketing rows by length."""
     if not seqs:
         return []
+    k, s, t = scheme.kmer_size, scheme.syncmer_size, scheme.t_syncmer
     enc = encode_dna5 if dna5 else encode_dna4
-    codes = [enc(s) for s in seqs]
-    lengths = np.array([c.shape[0] for c in codes], dtype=np.int64)
-    L = max(1, int(lengths.max()))
-    batch = np.full((len(codes), L), 4, dtype=np.uint8)
-    for i, c in enumerate(codes):
-        batch[i, : c.shape[0]] = c
-    h, v = syncmer_hashes_batch(batch, lengths, scheme.kmer_size,
-                                scheme.syncmer_size, scheme.t_syncmer)
-    return [np.unique(h[i][v[i]]) for i in range(len(codes))]
+    overlap = 2 * k
+
+    rows: list[np.ndarray] = []
+    owner: list[int] = []
+    for i, seq in enumerate(seqs):
+        codes = enc(seq)
+        n = codes.shape[0]
+        if n <= SEG_LEN:
+            rows.append(codes)
+            owner.append(i)
+        else:
+            start = 0
+            while start < n:
+                end = min(n, start + SEG_LEN)
+                rows.append(codes[max(0, start - overlap) : end])
+                owner.append(i)
+                start = end
+
+    per_seq: list[list[np.ndarray]] = [[] for _ in seqs]
+    # bucket rows by length (desc) so padding waste stays low
+    order = sorted(range(len(rows)), key=lambda r: -rows[r].shape[0])
+    pos = 0
+    while pos < len(order):
+        L = max(1, rows[order[pos]].shape[0])
+        nrows = max(1, min(len(order) - pos, CELL_BUDGET // L))
+        idxs = order[pos : pos + nrows]
+        pos += nrows
+        batch = np.full((len(idxs), L), 4, dtype=np.uint8)
+        lengths = np.empty(len(idxs), dtype=np.int64)
+        for j, r in enumerate(idxs):
+            c = rows[r]
+            batch[j, : c.shape[0]] = c
+            lengths[j] = c.shape[0]
+        h, v = syncmer_hashes_batch(batch, lengths, k, s, t)
+        for j, r in enumerate(idxs):
+            per_seq[owner[r]].append(h[j][v[j]])
+
+    return [
+        np.unique(np.concatenate(parts)) if parts else np.zeros(0, dtype=U64)
+        for parts in per_seq
+    ]
 
 
 def search_hashes(seqs: list[bytes], scheme: HashScheme) -> list[np.ndarray]:

@@ -44,6 +44,48 @@ def hashes_for_files(filenames: list[str], scheme: HashScheme) -> np.ndarray:
     return build_hashes(record_seqs, scheme)
 
 
+def precompute_file_hashes(filenames: list[str],
+                           scheme: HashScheme) -> dict[str, np.ndarray]:
+    """Hash every file's records in ONE batched scan (the vectorized
+    scanner needs many lanes to amortize; per-file calls starve it).
+    Returns file -> sorted unique uint64 hash set."""
+    from ..hash.encode import build_record_seq
+    from ..hash.schemes import _syncmer_sets_batch, scaling_filter
+    from ..hash.minimizer import minimiser_hashes
+    from ..hash.encode import encode_dna4
+
+    uniq_files = list(dict.fromkeys(filenames))
+    record_seqs: list[bytes] = []
+    owner: list[int] = []
+    for i, f in enumerate(uniq_files):
+        for rec in iter_fastx(f):
+            record_seqs.append(rec.seq)
+            owner.append(i)
+
+    per_file: dict[str, list[np.ndarray]] = {f: [] for f in uniq_files}
+    if scheme.use_syncmer:
+        trimmed = [build_record_seq(s) for s in record_seqs]
+        sets = _syncmer_sets_batch(trimmed, scheme, dna5=False)
+    else:
+        sets = [
+            minimiser_hashes(encode_dna4(s), scheme.kmer_size,
+                             scheme.window_size)
+            for s in record_seqs
+        ]
+    for i, h in zip(owner, sets):
+        per_file[uniq_files[i]].append(h)
+
+    out: dict[str, np.ndarray] = {}
+    for f in uniq_files:
+        parts = per_file[f]
+        h = (np.unique(np.concatenate(parts)) if parts
+             else np.zeros(0, dtype=U64))
+        if scheme.scaling > 1:
+            h = scaling_filter(h, scheme.scaling)
+        out[f] = h
+    return out
+
+
 def split_chunks(hashes: np.ndarray, number_of_bins: int) -> list[np.ndarray]:
     """Reference chunking: chunk_size = n // num_bins + 1
     (insert_into_bins.cpp:15)."""
@@ -64,8 +106,14 @@ def build_hixf_from_layout(
     ';' per record like the reference (update_user_bins.cpp:24-29).
     """
     if hash_fn is None:
+        cache = precompute_file_hashes(root.all_filenames(), scheme)
+
         def hash_fn(filenames):
-            return hashes_for_files(filenames, scheme)
+            parts = [cache[f] for f in filenames]
+            if len(parts) == 1:
+                return parts[0]
+            return (np.unique(np.concatenate(parts)) if parts
+                    else np.zeros(0, dtype=U64))
 
     ixfs: list = []
     next_ids: list = []

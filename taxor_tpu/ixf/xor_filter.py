@@ -36,6 +36,7 @@ fingerprints by reverse round order.
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass
 
 import numpy as np
@@ -52,8 +53,17 @@ U64 = np.uint64
 
 
 def ixf_geometry(max_elements_per_bin: int) -> tuple[int, int]:
-    """(block_length, slots) for a given per-bin capacity."""
-    array_length = int(32 + 1.23 * max_elements_per_bin)
+    """(block_length, slots) for a given per-bin capacity.
+
+    Documented divergence: the in-tree reference uses 32 + 1.23*n
+    (xorfilter.hpp:67), but 1.23 sits 0.7% above the 3-core peeling
+    threshold (c* = 1.2218) where mid-size bins fail to peel several
+    percent of the time — fatal when hundreds of bins must all peel under
+    one shared seed.  We use 48 + 1.32*n (+7% memory) which pushes
+    non-collision failures to ~0; see also the duplicate-triple handling
+    in build_ixf.
+    """
+    array_length = int(48 + math.ceil(1.32 * max_elements_per_bin))
     block_length = array_length // 3
     return block_length, 3 * block_length
 
@@ -158,6 +168,19 @@ def build_ixf(
                     f"{max_elements_per_bin}"
                 )
             pos, fpr, _ = compute_probes(keys, seed, block_length)
+            # Keys colliding on all 3 probe slots are jointly unsatisfiable
+            # (one fingerprint cell chain cannot encode two different
+            # fingerprints) and would force a full-IXF reseed every time a
+            # single pair collides anywhere — hopeless for thousands of
+            # bins.  Documented divergence: keep the first key of each
+            # triple, drop the rest (the dropped key false-negatives in
+            # this bin with probability ~n/bl^3 per key, negligible for
+            # count-based classification).
+            _, first_idx = np.unique(pos, axis=0, return_index=True)
+            if first_idx.shape[0] != keys.shape[0]:
+                keep = np.sort(first_idx)
+                pos = pos[keep]
+                fpr = fpr[keep]
             rounds = _peel_bin(pos)
             if rounds is None:
                 ok = False
@@ -168,8 +191,8 @@ def build_ixf(
             # reads never see same-round writes; the claimed slot itself is
             # still 0, so XOR-ing all three probe slots equals the
             # reference's "skip the found slot" formula.
-            for kidx, slots in reversed(rounds):
-                fp[slots, b] = (
+            for kidx, claimed in reversed(rounds):
+                fp[claimed, b] = (
                     fpr[kidx]
                     ^ fp[pos[kidx, 0], b]
                     ^ fp[pos[kidx, 1], b]

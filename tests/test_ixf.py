@@ -18,16 +18,16 @@ def rand_keys(rng, n):
 
 
 class TestGeometry:
-    def test_sizing_matches_reference_formula(self):
-        # arrayLength = 32 + 1.23*size (int), blockLength = arrayLength/3
+    def test_sizing_formula(self):
+        # arrayLength = 48 + ceil(1.32*size) (documented divergence from
+        # the reference's 32 + 1.23*size), blockLength = arrayLength/3
         bl, slots = ixf_geometry(1000)
-        assert bl == (32 + int(1.23 * 1000) + (1262 - 32 - 1230)) // 3 or bl == 420
-        assert bl == int(32 + 1.23 * 1000) // 3
+        assert bl == (48 + 1320) // 3
         assert slots == 3 * bl
 
     def test_empty(self):
         bl, slots = ixf_geometry(0)
-        assert bl == 10 and slots == 30
+        assert bl == 16 and slots == 48
 
 
 class TestBuild:
