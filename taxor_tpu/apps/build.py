@@ -90,14 +90,15 @@ def make_layout(
     config: BuildConfig,
     clusters: dict[str, list[str]],
     scheme: HashScheme,
+    file_hashes: dict | None = None,
 ) -> LayoutNode:
     ordered_files = [clusters[acc][0] for acc in clusters]
     if config.layout_mode == "flat":
         return flat_layout(ordered_files)
-    from ..hixf.binning import compute_layout
+    from ..hixf.binning import compute_layout_from_hashes
 
-    return compute_layout(clusters, scheme, tmax=config.tmax,
-                          threads=config.threads)
+    return compute_layout_from_hashes(file_hashes, clusters,
+                                      tmax=config.tmax)
 
 
 def run_build(config: BuildConfig) -> TaxorIndex:
@@ -117,11 +118,23 @@ def run_build(config: BuildConfig) -> TaxorIndex:
         scaling=config.scaling,
     )
 
-    layout = make_layout(config, clusters, scheme)
+    # hash every genome once; layout sketches and the HIXF build share it
+    from ..hixf.build import precompute_file_hashes
+
+    all_files = [f for files in clusters.values() for f in files]
+    file_hashes = precompute_file_hashes(all_files, scheme)
+
+    layout = make_layout(config, clusters, scheme, file_hashes)
     if config.layout_file:
         write_layout(layout, config.layout_file)
 
-    hixf, _ = build_hixf_from_layout(layout, scheme)
+    def hash_fn(filenames: list[str]):
+        parts = [file_hashes[f] for f in filenames]
+        if len(parts) == 1:
+            return parts[0]
+        return np.unique(np.concatenate(parts))
+
+    hixf, _ = build_hixf_from_layout(layout, scheme, hash_fn=hash_fn)
 
     # per-species bookkeeping (taxor_build.cpp:516-527)
     for ub, joined in enumerate(hixf.user_bin_filenames):

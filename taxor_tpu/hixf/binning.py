@@ -1,0 +1,288 @@
+"""Hierarchical binning layout DP — the chopper equivalent.
+
+The reference shells out to chopper's ``hierarchical_binning`` DP
+(taxor_build.cpp:168-233, 461-491): order user bins, pick the best
+``t_max`` from a sweep {64, 128, ..., 4096, ~sqrt(n)} by expected query
+cost, and assign every user bin either to a run of SPLIT technical bins or
+into a MERGED technical bin whose members recurse into a child IXF.
+
+This is a faithful reimplementation of the published HIBF DP (Mehringer
+et al. 2023) rather than a byte-port of chopper:
+
+  M[i][j] = minimal possible maximum technical-bin cardinality when the
+  first j+1 user bins occupy the first i+1 technical bins, with
+    split transition:  bin j alone spread over bins i'..i
+                       (size ceil(c_j / (i-i'+1))),
+    merge transition:  bins j'..j together in technical bin i
+                       (size = HLL union estimate of their hash sets).
+
+Documented deviations from chopper:
+  - union estimates come from HLL sketches built over the *index* hash
+    sets (dna4 path) rather than a separate dna5 counting pass — layout
+    sizing only, classification output is unaffected,
+  - transition ranges are capped (MAX_SPLIT, MAX_MERGE) to bound the
+    Python DP; chopper searches the full range,
+  - similarity-based user-bin rearrangement (chopper's
+    ``rearrange_user_bins``) is not yet implemented; bins are ordered by
+    descending cardinality,
+  - the expected-query-cost model is TPU-native: probing a level with B
+    technical bins costs ``c0 + B/512`` relative units (lane tiles per
+    probe row), weighted by each user bin's share of hashes, instead of
+    chopper's CPU-measured interpolation table.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..utils.u64np import wyhash64
+from .hll import HyperLogLog
+from .layout import LayoutNode, LayoutRecord
+
+MAX_SPLIT = 128
+MAX_MERGE = 1024
+_SKETCH_BITS = 10
+
+
+def next_multiple_of_64(n: int) -> int:
+    return ((n + 63) // 64) * 64
+
+
+@dataclass
+class _Bin:
+    filenames: list[str]
+    count: float
+    sketch: HyperLogLog
+
+
+def make_sketch(hashes: np.ndarray, bits: int = _SKETCH_BITS) -> HyperLogLog:
+    """Sketch over re-mixed hash values (minimizer-path values are not
+    uniform; wyhash64 whitens both paths)."""
+    sk = HyperLogLog(bits)
+    sk.add_many(wyhash64(hashes))
+    return sk
+
+
+_POW2 = 2.0 ** -np.arange(70, dtype=np.float64)
+
+
+def _estimate_from_registers(regs: np.ndarray) -> float:
+    m = regs.shape[0]
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    e = alpha * m * m / _POW2[regs].sum()
+    if e <= 2.5 * m:
+        zeros = int((regs == 0).sum())
+        if zeros:
+            e = m * math.log(m / zeros)
+    return e
+
+
+def _union_matrix(bins: list[_Bin], max_merge: int) -> np.ndarray:
+    """U[j', j] = estimated union cardinality of bins j'..j (j'-axis
+    truncated to the merge window)."""
+    n = len(bins)
+    U = np.full((n, n), np.inf)
+    for j in range(n):
+        regs = bins[j].sketch.registers.copy()
+        U[j, j] = max(bins[j].count, _estimate_from_registers(regs))
+        for jp in range(j - 1, max(-1, j - max_merge), -1):
+            np.maximum(regs, bins[jp].sketch.registers, out=regs)
+            U[jp, j] = _estimate_from_registers(regs)
+    return U
+
+
+def _dp_layout(bins: list[_Bin], tmax: int):
+    """Returns (max_size, placements) where placements is a list of
+    ('split', j, start_bin, n_bins) and ('merge', j_from, j_to, bin)."""
+    n = len(bins)
+    counts = np.array([b.count for b in bins], dtype=np.float64)
+    U = _union_matrix(bins, MAX_MERGE)
+
+    INF = np.inf
+    M = np.full((tmax, n), INF)
+    # back[i][j] = (kind, arg): kind 0 = split from i' (arg=i'),
+    #              kind 1 = merge from j' (arg=j')
+    back_kind = np.full((tmax, n), -1, dtype=np.int8)
+    back_arg = np.full((tmax, n), -1, dtype=np.int32)
+
+    # base row: user bin 0 split across bins 0..i
+    for i in range(min(tmax, MAX_SPLIT)):
+        M[i, 0] = math.ceil(counts[0] / (i + 1))
+        back_kind[i, 0] = 0
+        back_arg[i, 0] = 0
+    # merged-at-bin-0 base: bins 0..j all in technical bin 0
+    jmax0 = min(n, MAX_MERGE)
+    M[0, 1:jmax0] = U[0, 1:jmax0]
+    back_kind[0, 1:jmax0] = 1
+    back_arg[0, 1:jmax0] = 0
+
+    for i in range(1, tmax):
+        # split transitions, vectorized over j and i'
+        lo = max(0, i - MAX_SPLIT + 1)
+        prev = M[lo - 1 : i, :-1] if lo > 0 else M[0:i, :-1]
+        # candidate for splitting user bin j over i'..i given M[i'-1, j-1]
+        ip = np.arange(max(1, lo), i + 1)  # i' >= 1 (i'-1 >= 0)
+        if ip.size:
+            nbins = (i - ip + 1)[:, None]  # [k,1]
+            corrected = np.ceil(counts[None, 1:] / nbins)  # [k, n-1]
+            cand = np.maximum(M[ip - 1, :-1], corrected)  # [k, n-1]
+            k_best = np.argmin(cand, axis=0)
+            v_best = cand[k_best, np.arange(n - 1)]
+            better = v_best < M[i, 1:]
+            M[i, 1:] = np.where(better, v_best, M[i, 1:])
+            back_kind[i, 1:][better] = 0
+            back_arg[i, 1:][better] = ip[k_best[better]]
+
+        # merge transitions: for each j, best j' with
+        # max(M[i-1, j'-1], U[j', j])
+        # vectorize over j' blocks
+        mprev = M[i - 1]
+        for j in range(1, n):
+            jlo = max(1, j - MAX_MERGE + 1)
+            jp = np.arange(jlo, j + 1)
+            cand = np.maximum(mprev[jp - 1], U[jp, j])
+            kk = int(np.argmin(cand))
+            if cand[kk] < M[i, j]:
+                M[i, j] = cand[kk]
+                back_kind[i, j] = 1
+                back_arg[i, j] = jp[kk]
+
+    # best final row: smallest max-size using at most tmax bins
+    i = int(np.argmin(M[:, n - 1]))
+    max_size = M[i, n - 1]
+    placements = []
+    j = n - 1
+    while j >= 0:
+        kind = back_kind[i, j]
+        arg = int(back_arg[i, j])
+        if kind == 0:
+            placements.append(("split", j, arg, i - arg + 1))
+            i, j = arg - 1, j - 1
+        elif kind == 1:
+            placements.append(("merge", arg, j, i))
+            i, j = i - 1, arg - 1
+        else:
+            raise RuntimeError("DP backtrack failed")
+    placements.reverse()
+    return max_size, placements
+
+
+def _build_node(bins: list[_Bin], tmax: int) -> LayoutNode:
+    max_size, placements = _dp_layout(bins, tmax)
+    node = LayoutNode()
+    bin_sizes: list[tuple[int, float]] = []
+    ntb = 0
+    for p in placements:
+        if p[0] == "split":
+            _, j, start, nbins = p
+            node.records.append(
+                LayoutRecord(bins[j].filenames, start, nbins)
+            )
+            ntb = max(ntb, start + nbins)
+            bin_sizes.append((start, bins[j].count / nbins))
+        else:
+            _, jf, jt, tb = p
+            ntb = max(ntb, tb + 1)
+            if jf == jt:
+                node.records.append(
+                    LayoutRecord(bins[jf].filenames, tb, 1)
+                )
+                bin_sizes.append((tb, bins[jf].count))
+            else:
+                members = bins[jf : jt + 1]
+                child_tmax = min(
+                    tmax, next_multiple_of_64(max(64, len(members)))
+                )
+                child = _build_node(members, child_tmax)
+                node.children[tb] = child
+                regs = members[0].sketch.registers.copy()
+                for b in members[1:]:
+                    np.maximum(regs, b.sketch.registers, out=regs)
+                bin_sizes.append((tb, _estimate_from_registers(regs)))
+    node.num_technical_bins = ntb
+    node.max_bin_index = (
+        max(bin_sizes, key=lambda t: t[1])[0] if bin_sizes else 0
+    )
+    return node
+
+
+def _expected_query_cost(node: LayoutNode, c0: float = 1.0) -> float:
+    """TPU-native proxy for chopper's expected_HIBF_query_cost: reaching a
+    user bin costs, for every level on its path, c0 + bins/512 relative
+    units (probe rows are processed in 512-bin packed lane tiles).
+    Averaged over user bins (uniform read weights)."""
+
+    def count_leaves(n: LayoutNode) -> int:
+        return len(n.records) + sum(
+            count_leaves(ch) for ch in n.children.values()
+        )
+
+    def cost(n: LayoutNode, path_cost: float) -> float:
+        here = path_cost + c0 + n.num_technical_bins / 512.0
+        total_c = len(n.records) * here
+        for ch in n.children.values():
+            total_c += cost(ch, here)
+        return total_c
+
+    return cost(node, 0.0) / max(1, count_leaves(node))
+
+
+def compute_layout_from_hashes(
+    file_hashes: dict[str, np.ndarray],
+    clusters: dict[str, list[str]],
+    tmax: int = 4096,
+) -> LayoutNode:
+    """Layout for accession clusters given precomputed per-file hash sets.
+    Runs the reference's t_max sweep (taxor_build.cpp:173-228): powers of
+    two from 64 plus next_multiple_of_64(sqrt(n)), keeping the layout
+    with the lowest expected query cost; stops as soon as the cost
+    worsens (force_all_binnings is off in the reference)."""
+    entries: list[_Bin] = []
+    for acc in clusters:
+        files = clusters[acc]
+        hashes = (
+            np.unique(np.concatenate([file_hashes[f] for f in files]))
+            if len(files) > 1
+            else file_hashes[files[0]]
+        )
+        entries.append(
+            _Bin(
+                filenames=list(files),
+                count=float(hashes.shape[0]),
+                sketch=make_sketch(hashes),
+            )
+        )
+    # order by descending cardinality (chopper's default sort)
+    entries.sort(key=lambda b: -b.count)
+
+    n = len(entries)
+    candidates = sorted(
+        {64 << k for k in range(20) if 64 << k <= tmax}
+        | {next_multiple_of_64(math.ceil(math.sqrt(n)))}
+    )
+    candidates = [t for t in candidates if t <= max(tmax, 64)] or [64]
+
+    best_node = None
+    best_cost = np.inf
+    for t in candidates:
+        node = _build_node(entries, t)
+        cost = _expected_query_cost(node)
+        if cost < best_cost:
+            best_cost = cost
+            best_node = node
+        else:
+            break
+    return best_node
+
+
+def compute_layout(clusters: dict[str, list[str]], scheme, tmax: int = 4096,
+                   threads: int = 1) -> LayoutNode:
+    """Full layout pipeline: hash all files once, sketch, DP."""
+    from .build import precompute_file_hashes
+
+    all_files = [f for files in clusters.values() for f in files]
+    file_hashes = precompute_file_hashes(all_files, scheme)
+    return compute_layout_from_hashes(file_hashes, clusters, tmax=tmax)
