@@ -103,6 +103,9 @@ def make_layout(
 
 def run_build(config: BuildConfig) -> TaxorIndex:
     sanity_checks(config)
+    from ..hash import schemes as _schemes
+
+    _schemes.NUM_THREADS = max(1, int(config.threads))
 
     orgs: list[Species] = []
     for f in config.input_file.split(","):

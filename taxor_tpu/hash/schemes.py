@@ -13,6 +13,7 @@ Mirrors the three call-site behaviors:
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 import numpy as np
@@ -74,13 +75,50 @@ SEG_LEN = 1 << 17
 CELL_BUDGET = 1 << 24
 
 
+# host-thread fan-out for the native scanner (the reference's OpenMP /
+# do_parallel analog); apps override this from --threads
+NUM_THREADS = min(8, os.cpu_count() or 1)
+
+
+def _syncmer_sets_native(seqs: list[bytes], scheme: HashScheme,
+                         dna5: bool, lib) -> list[np.ndarray]:
+    """Per-sequence native scan (C++ state machine), thread-parallel."""
+    import ctypes
+    from concurrent.futures import ThreadPoolExecutor
+
+    k, s, t = scheme.kmer_size, scheme.syncmer_size, scheme.t_syncmer
+    enc = encode_dna5 if dna5 else encode_dna4
+
+    def scan_one(seq: bytes) -> np.ndarray:
+        codes = np.ascontiguousarray(enc(seq))
+        n = codes.shape[0]
+        if n < k:
+            return np.zeros(0, dtype=U64)
+        out = np.empty(n, dtype=U64)
+        cnt = lib.syncmer_scan(
+            codes.ctypes.data_as(ctypes.c_void_p), n, k, s, t,
+            out.ctypes.data_as(ctypes.c_void_p),
+        )
+        return np.unique(out[:cnt])
+
+    if len(seqs) > 3 and NUM_THREADS > 1:
+        with ThreadPoolExecutor(max_workers=NUM_THREADS) as ex:
+            return list(ex.map(scan_one, seqs))
+    return [scan_one(s_) for s_ in seqs]
+
+
 def _syncmer_sets_batch(seqs: list[bytes], scheme: HashScheme,
                         dna5: bool) -> list[np.ndarray]:
-    """Deduplicated syncmer hashes per sequence, batched through the
-    vectorized scanner.  Handles arbitrary length mixes by segmenting
-    long sequences and bucketing rows by length."""
+    """Deduplicated syncmer hashes per sequence: native C++ scanner when
+    available, else the vectorized numpy scan (segmenting long sequences
+    and bucketing rows by length)."""
     if not seqs:
         return []
+    from ..native import get_lib
+
+    lib = get_lib()
+    if lib is not None:
+        return _syncmer_sets_native(seqs, scheme, dna5, lib)
     k, s, t = scheme.kmer_size, scheme.syncmer_size, scheme.t_syncmer
     enc = encode_dna5 if dna5 else encode_dna4
     overlap = 2 * k

@@ -163,7 +163,9 @@ def run_search(config: SearchConfig) -> None:
     """Outer product over comma-separated query and index lists
     (taxor_search.cpp:340-360)."""
     from ..device.hixf_search import DeviceHIXF
+    from ..hash import schemes as _schemes
 
+    _schemes.NUM_THREADS = max(1, int(config.threads))
     index_files = config.index_file.split(",")
     query_files = config.query_file.split(",")
 
