@@ -44,7 +44,8 @@ def _add_search(sub):
     p.add_argument("--percentage", type=float, default=-1.0,
                    help="if set, used instead of the k-mer/syncmer models")
     p.add_argument("--error-rate", type=float, default=0.04)
-    p.add_argument("--engine", default="device", choices=["device", "host"])
+    p.add_argument("--engine", default="device",
+                   choices=["device", "host", "sharded"])
     p.add_argument("--write-time", action="store_true")
     return p
 

@@ -52,10 +52,21 @@ class DeviceHIXF:
     uses the gather formulation (CPU tests and oversized filters).
     """
 
-    def __init__(self, hixf: HIXF, engine: str | None = None):
+    def __init__(self, hixf: HIXF, engine: str | None = None, mesh=None):
+        """mesh: optional jax.sharding.Mesh with axes ('reads', 'bins').
+        When given, fingerprint matrices are placed bin-sharded and read
+        batches reads-sharded; the jitted count+segment step runs SPMD
+        with XLA inserting the collectives (the bins contraction in the
+        run-sum matmul becomes an ICI reduce).  GSPMD requires the XLA
+        engine for now (the Pallas kernel runs per-chip under shard_map in
+        a later iteration)."""
         from .pallas_probe import choose_bin_tile4, prepare_fingerprints
 
-        engine = engine or _default_engine()
+        self.mesh = mesh
+        if mesh is not None:
+            engine = "xla"
+        else:
+            engine = engine or _default_engine()
         self.hixf = hixf
         self.num_user_bins = hixf.num_user_bins
         self.dfs_rank = hixf.user_bin_dfs_order()
@@ -84,13 +95,25 @@ class DeviceHIXF:
                 ],
                 dtype=np.int64,
             )
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                fp_dev = jax.device_put(
+                    fp, NamedSharding(mesh, P(None, "bins"))
+                )
+                onehot_dev = jax.device_put(
+                    onehot, NamedSharding(mesh, P("bins", None))
+                )
+            else:
+                fp_dev = jnp.asarray(fp)
+                onehot_dev = jnp.asarray(onehot)
             self.ixfs.append(
                 _DeviceIXF(
-                    fp=jnp.asarray(fp),
+                    fp=fp_dev,
                     seed=ixf.seed,
                     block_length=ixf.block_length,
                     bins=ixf.bin_count,
-                    run_onehot=jnp.asarray(onehot),
+                    run_onehot=onehot_dev,
                     run_users=users,
                     run_children=children,
                     engine=ixf_engine,
@@ -129,8 +152,17 @@ class DeviceHIXF:
         bin on the path down was descended.
         """
         R = hashes.shape[0]
+        if self.mesh is not None:
+            # pad the read axis to the reads-mesh size
+            rsize = self.mesh.shape["reads"]
+            rpad = (-R) % rsize
+            if rpad:
+                hashes = np.pad(hashes, ((0, rpad), (0, 0)))
+                mask = np.pad(mask, ((0, rpad), (0, 0)))
+                thresholds = np.pad(thresholds, (0, rpad))
+        Rp = hashes.shape[0]
         run_sums: dict[int, np.ndarray] = {}
-        active: dict[int, np.ndarray] = {0: np.ones(R, dtype=bool)}
+        active: dict[int, np.ndarray] = {0: np.ones(Rp, dtype=bool)}
         thresholds = np.asarray(thresholds, dtype=np.int64)
 
         for i in self.bfs_order:
@@ -140,16 +172,28 @@ class DeviceHIXF:
             act = active[i]
             if not act.any():
                 run_sums[i] = np.zeros(
-                    (R, dixf.run_users.shape[0]), dtype=np.int64
+                    (Rp, dixf.run_users.shape[0]), dtype=np.int64
                 )
                 continue
             pos, fpr, _ = compute_probes(
                 hashes.reshape(-1), dixf.seed, dixf.block_length
             )
-            pos = pos.reshape(R, -1, 3).astype(np.int32)
-            fpr = fpr.reshape(R, -1)
+            pos = pos.reshape(Rp, -1, 3).astype(np.int32)
+            fpr = fpr.reshape(Rp, -1)
             m = mask & act[:, None]
-            if dixf.engine == "pallas":
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                sh3 = NamedSharding(self.mesh, P("reads", None, None))
+                sh2 = NamedSharding(self.mesh, P("reads", None))
+                sums = _count_and_segment_jit(
+                    dixf.fp,
+                    dixf.run_onehot,
+                    jax.device_put(pos, sh3),
+                    jax.device_put(fpr, sh2),
+                    jax.device_put(m, sh2),
+                )
+            elif dixf.engine == "pallas":
                 from .pallas_probe import probe_counts_pallas
 
                 counts = probe_counts_pallas(dixf.fp, pos, fpr, m)
@@ -171,8 +215,8 @@ class DeviceHIXF:
                 child_active = act & (run_sums[i][:, r] >= thresholds)
                 active[c] = child_active
 
-        counts = np.zeros((R, self.num_user_bins), dtype=np.int64)
-        emitted = np.zeros((R, self.num_user_bins), dtype=bool)
+        counts = np.zeros((Rp, self.num_user_bins), dtype=np.int64)
+        emitted = np.zeros((Rp, self.num_user_bins), dtype=bool)
         for i in self.bfs_order:
             if i not in run_sums:
                 continue
@@ -188,7 +232,7 @@ class DeviceHIXF:
             emit = act[:, None] & (s >= thresholds[:, None])
             counts[:, u] = np.where(emit, s, counts[:, u])
             emitted[:, u] |= emit
-        return counts, emitted
+        return counts[:R], emitted[:R]
 
 
 def _count_and_segment(fp, onehot, pos, fpr, mask):

@@ -39,9 +39,12 @@ class SearchConfig:
     threads: int = 1  # accepted for CLI parity; batching replaces threads
     percentage: float = -1.0
     error_rate: float = 0.04
-    engine: str = "device"
+    engine: str = "device"  # 'device' | 'host' | 'sharded'
     batch_size: int = 1024
     write_time: bool = False
+    # sharded engine mesh ('reads' x 'bins'); 0 = auto over all devices
+    mesh_reads: int = 0
+    mesh_bins: int = 0
 
 
 HEADER = (
@@ -197,6 +200,18 @@ def run_search(config: SearchConfig) -> None:
                 if config.engine == "device":
                     t0 = time.perf_counter()
                     dhixf = DeviceHIXF(index.hixf)
+                    timings["index_io"] += time.perf_counter() - t0
+                elif config.engine == "sharded":
+                    import jax
+
+                    from ..device.sharding import make_mesh
+
+                    t0 = time.perf_counter()
+                    n_dev = len(jax.devices())
+                    bins = config.mesh_bins or (2 if n_dev >= 2 else 1)
+                    reads = config.mesh_reads or max(1, n_dev // bins)
+                    mesh = make_mesh(reads, bins)
+                    dhixf = DeviceHIXF(index.hixf, mesh=mesh)
                     timings["index_io"] += time.perf_counter() - t0
                 t = search_single(index, query, out, config, dhixf)
                 timings["reads_io"] += t["reads_io"]

@@ -132,6 +132,12 @@ class TestSearch:
         cols = lines[1].split("\t")
         assert cols == ["garbage read", "-", "-", "-", "-", "800"]
 
+    def test_sharded_engine_agrees(self, built_index, ref_set):
+        # GSPMD bin+read sharded engine over the 8 virtual CPU devices
+        host = self._run(built_index, ref_set, "host", "sh_h")
+        shard = self._run(built_index, ref_set, "sharded", "sh_s")
+        assert open(host).read() == open(shard).read()
+
     def test_batch_invariance(self, built_index, ref_set):
         # classification independent of batch size (property test, §4)
         tmp, tsv, gdir, genomes, reads = ref_set
