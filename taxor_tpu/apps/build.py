@@ -40,6 +40,7 @@ class BuildConfig:
     layout_mode: str = "auto"  # 'auto' (DP) | 'flat'
     layout_file: str = "binning.out"
     tmax: int = 4096
+    spill_dir: str = ""  # bound peak RSS via on-disk hash files
 
 
 def sanity_checks(config: BuildConfig) -> None:
@@ -125,14 +126,16 @@ def run_build(config: BuildConfig) -> TaxorIndex:
     from ..hixf.build import precompute_file_hashes
 
     all_files = [f for files in clusters.values() for f in files]
-    file_hashes = precompute_file_hashes(all_files, scheme)
+    file_hashes = precompute_file_hashes(
+        all_files, scheme, spill_dir=config.spill_dir or None
+    )
 
     layout = make_layout(config, clusters, scheme, file_hashes)
     if config.layout_file:
         write_layout(layout, config.layout_file)
 
     def hash_fn(filenames: list[str]):
-        parts = [file_hashes[f] for f in filenames]
+        parts = [file_hashes.get(f) for f in filenames]
         if len(parts) == 1:
             return parts[0]
         return np.unique(np.concatenate(parts))

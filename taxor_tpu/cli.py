@@ -31,6 +31,9 @@ def _add_build(sub):
     p.add_argument("--layout", default="auto", choices=["auto", "flat"],
                    help="layout algorithm (auto = hierarchical DP)")
     p.add_argument("--tmax", type=int, default=4096)
+    p.add_argument("--spill-dir", default="",
+                   help="spill per-genome hash sets to this directory to "
+                        "bound peak RAM (GTDB-scale builds)")
     return p
 
 
@@ -92,6 +95,7 @@ def main(argv: list[str] | None = None) -> int:
                 use_syncmer=args.use_syncmer,
                 layout_mode=args.layout,
                 tmax=args.tmax,
+                spill_dir=args.spill_dir,
             ))
         elif args.command == "search":
             from .search.pipeline import SearchConfig, run_search

@@ -37,6 +37,10 @@ class _DeviceIXF:
     run_users: np.ndarray  # int64 [n_runs], -1 for merged runs
     run_children: np.ndarray  # int64 [n_runs], child ixf id for merged runs
     engine: str = "xla"  # 'xla' | 'pallas'
+    # traced geometry scalars for the fused device step
+    seed_hi: jax.Array | None = None
+    seed_lo: jax.Array | None = None
+    bl_u32: jax.Array | None = None
 
 
 def _default_engine() -> str:
@@ -117,6 +121,9 @@ class DeviceHIXF:
                     run_users=users,
                     run_children=children,
                     engine=ixf_engine,
+                    seed_hi=jnp.uint32(ixf.seed >> 32),
+                    seed_lo=jnp.uint32(ixf.seed & 0xFFFFFFFF),
+                    bl_u32=jnp.uint32(ixf.block_length),
                 )
             )
         # BFS order from root (index 0); children discovered via run_children
@@ -160,6 +167,23 @@ class DeviceHIXF:
                 hashes = np.pad(hashes, ((0, rpad), (0, 0)))
                 mask = np.pad(mask, ((0, rpad), (0, 0)))
                 thresholds = np.pad(thresholds, (0, rpad))
+        any_pallas = any(d.engine == "pallas" for d in self.ixfs)
+        if any_pallas:
+            # pad to the kernel's read/hash tiles once for the whole tree
+            from .pallas_probe import _HASH_UNROLL, _READ_TILE
+
+            rpad2 = (-hashes.shape[0]) % _READ_TILE
+            hpad2 = (-hashes.shape[1]) % _HASH_UNROLL
+            if rpad2 or hpad2:
+                hashes = np.pad(hashes, ((0, rpad2), (0, hpad2)))
+                mask = np.pad(mask, ((0, rpad2), (0, hpad2)))
+                thresholds = np.pad(thresholds, (0, rpad2))
+            h_hi = jnp.asarray((hashes >> np.uint64(32)).astype(np.uint32))
+            h_lo = jnp.asarray(
+                (hashes & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+            )
+            mask_dev = jnp.asarray(mask)
+
         Rp = hashes.shape[0]
         run_sums: dict[int, np.ndarray] = {}
         active: dict[int, np.ndarray] = {0: np.ones(Rp, dtype=bool)}
@@ -175,37 +199,45 @@ class DeviceHIXF:
                     (Rp, dixf.run_users.shape[0]), dtype=np.int64
                 )
                 continue
-            pos, fpr, _ = compute_probes(
-                hashes.reshape(-1), dixf.seed, dixf.block_length
-            )
-            pos = pos.reshape(Rp, -1, 3).astype(np.int32)
-            fpr = fpr.reshape(Rp, -1)
-            m = mask & act[:, None]
-            if self.mesh is not None:
-                from jax.sharding import NamedSharding, PartitionSpec as P
+            if dixf.engine == "pallas":
+                from .pallas_probe import choose_bin_tile4, fused_probe_step
 
-                sh3 = NamedSharding(self.mesh, P("reads", None, None))
-                sh2 = NamedSharding(self.mesh, P("reads", None))
-                sums = _count_and_segment_jit(
-                    dixf.fp,
-                    dixf.run_onehot,
-                    jax.device_put(pos, sh3),
-                    jax.device_put(fpr, sh2),
-                    jax.device_put(m, sh2),
+                sums = fused_probe_step(
+                    dixf.fp, h_hi, h_lo, mask_dev, jnp.asarray(act),
+                    dixf.run_onehot, dixf.seed_hi, dixf.seed_lo,
+                    dixf.bl_u32,
+                    bin_tile4=choose_bin_tile4(*dixf.fp.shape),
                 )
-            elif dixf.engine == "pallas":
-                from .pallas_probe import probe_counts_pallas
-
-                counts = probe_counts_pallas(dixf.fp, pos, fpr, m)
-                sums = _segment_jit(counts, dixf.run_onehot)
             else:
-                sums = _count_and_segment(
-                    dixf.fp,
-                    dixf.run_onehot,
-                    jnp.asarray(pos),
-                    jnp.asarray(fpr),
-                    jnp.asarray(m),
+                pos, fpr, _ = compute_probes(
+                    hashes.reshape(-1), dixf.seed, dixf.block_length
                 )
+                pos = pos.reshape(Rp, -1, 3).astype(np.int32)
+                fpr = fpr.reshape(Rp, -1)
+                m = mask & act[:, None]
+                if self.mesh is not None:
+                    from jax.sharding import (
+                        NamedSharding,
+                        PartitionSpec as P,
+                    )
+
+                    sh3 = NamedSharding(self.mesh, P("reads", None, None))
+                    sh2 = NamedSharding(self.mesh, P("reads", None))
+                    sums = _count_and_segment_jit(
+                        dixf.fp,
+                        dixf.run_onehot,
+                        jax.device_put(pos, sh3),
+                        jax.device_put(fpr, sh2),
+                        jax.device_put(m, sh2),
+                    )
+                else:
+                    sums = _count_and_segment(
+                        dixf.fp,
+                        dixf.run_onehot,
+                        jnp.asarray(pos),
+                        jnp.asarray(fpr),
+                        jnp.asarray(m),
+                    )
             run_sums[i] = np.asarray(sums).astype(np.int64)
             # schedule children
             for r, c in enumerate(dixf.run_children):

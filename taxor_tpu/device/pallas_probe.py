@@ -118,6 +118,45 @@ def _probe_call(fp_packed, pos, fpr4, bin_tile4, interpret):
     return jnp.moveaxis(out, 1, 2).reshape(R, 4 * B4)
 
 
+@functools.partial(jax.jit, static_argnames=("bin_tile4", "interpret"))
+def fused_probe_step(
+    fp_packed,  # int32 [S+1, B4]
+    h_hi,  # uint32 [R, H]
+    h_lo,  # uint32 [R, H]
+    mask,  # bool [R, H]  valid-hash mask
+    active,  # bool [R]    active-read mask (frontier descent)
+    onehot,  # float32 [4*B4, n_runs]
+    seed_hi,  # uint32 scalar
+    seed_lo,  # uint32 scalar
+    block_length,  # uint32 scalar
+    bin_tile4: int,
+    interpret: bool = False,
+):
+    """Whole per-IXF search step on device: murmur mix + probe positions
+    (32-bit pair math), Pallas probe/count, run segmentation matmul.
+    Geometry scalars are traced, so one compilation covers every IXF that
+    shares (R, H, S+1, B4) shapes.  Returns int32 [R, n_runs] run sums."""
+    from ..utils.u64jnp import probe_positions_and_fprint4
+
+    R, H = h_hi.shape
+    S1 = fp_packed.shape[0]
+    pos, f4 = probe_positions_and_fprint4(h_hi, h_lo, seed_hi, seed_lo,
+                                          block_length)
+    mask = mask & active[:, None]
+    sentinel = jnp.int32(S1 - 1)
+    pos = jnp.where(mask[..., None], pos, sentinel)
+    # the no-hit fingerprint must poison ALL 4 byte lanes of the packed
+    # word (a bare 1 would leave lanes 1-3 matching the zero sentinel row)
+    f4 = jnp.where(mask, f4, jnp.uint32(0x01010101))
+    pos_flat = pos.reshape(R, 1, H * 3)
+    f4i = jax.lax.bitcast_convert_type(f4, jnp.int32)[:, None, :]
+    counts = _probe_call(fp_packed, pos_flat, f4i, bin_tile4, interpret)
+    return jnp.dot(
+        counts.astype(jnp.float32), onehot,
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.int32)
+
+
 def prepare_fingerprints(fingerprints: np.ndarray) -> np.ndarray:
     """uint8 [S, B] -> packed int32 [S+1, Bpad/4] with a zero sentinel
     row appended.  Bins pad to a 4*LANE multiple so each packed tile has

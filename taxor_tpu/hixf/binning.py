@@ -230,8 +230,48 @@ def _expected_query_cost(node: LayoutNode, c0: float = 1.0) -> float:
     return cost(node, 0.0) / max(1, count_leaves(node))
 
 
+def rearrange_bins(entries: list[_Bin]) -> list[_Bin]:
+    """Similarity-based reordering — the analog of chopper's
+    ``rearrange_user_bins`` + ``estimate_union`` (enabled by the reference
+    at taxor_build.cpp:470-472).  Greedy nearest-neighbor chaining by
+    HLL-estimated Jaccard similarity: start from the largest bin, always
+    append the unplaced bin most similar to the last placed one.  Similar
+    genomes become adjacent, which shrinks merged-bin unions in the DP.
+    (chopper uses interval-wise agglomerative clustering; the greedy chain
+    is a documented simplification with the same objective.)"""
+    n = len(entries)
+    if n <= 2:
+        return entries
+    ests = np.array(
+        [_estimate_from_registers(b.sketch.registers) for b in entries]
+    )
+    regs = np.stack([b.sketch.registers for b in entries])  # [n, m]
+    placed = np.zeros(n, dtype=bool)
+    cur = int(np.argmax([b.count for b in entries]))
+    order = [cur]
+    placed[cur] = True
+    for _ in range(n - 1):
+        union_regs = np.maximum(regs[cur][None, :], regs)  # [n, m]
+        inv = _POW2[union_regs].sum(axis=1)
+        m = regs.shape[1]
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+        u = alpha * m * m / inv
+        # small-range correction vectorized (approximate: apply where e<2.5m)
+        zeros = (union_regs == 0).sum(axis=1)
+        small = (u <= 2.5 * m) & (zeros > 0)
+        with np.errstate(divide="ignore"):
+            u = np.where(small, m * np.log(np.where(zeros > 0, m / np.maximum(zeros, 1), 1.0)), u)
+        jac = (ests[cur] + ests - u) / np.maximum(u, 1e-9)
+        jac[placed] = -np.inf
+        nxt = int(np.argmax(jac))
+        order.append(nxt)
+        placed[nxt] = True
+        cur = nxt
+    return [entries[i] for i in order]
+
+
 def compute_layout_from_hashes(
-    file_hashes: dict[str, np.ndarray],
+    file_hashes,
     clusters: dict[str, list[str]],
     tmax: int = 4096,
 ) -> LayoutNode:
@@ -240,13 +280,16 @@ def compute_layout_from_hashes(
     two from 64 plus next_multiple_of_64(sqrt(n)), keeping the layout
     with the lowest expected query cost; stops as soon as the cost
     worsens (force_all_binnings is off in the reference)."""
+    def load(f):
+        return file_hashes.get(f) if hasattr(file_hashes, "get") and not isinstance(file_hashes, dict) else file_hashes[f]
+
     entries: list[_Bin] = []
     for acc in clusters:
         files = clusters[acc]
         hashes = (
-            np.unique(np.concatenate([file_hashes[f] for f in files]))
+            np.unique(np.concatenate([load(f) for f in files]))
             if len(files) > 1
-            else file_hashes[files[0]]
+            else load(files[0])
         )
         entries.append(
             _Bin(
@@ -255,8 +298,10 @@ def compute_layout_from_hashes(
                 sketch=make_sketch(hashes),
             )
         )
-    # order by descending cardinality (chopper's default sort)
+    # order by descending cardinality, then chain by similarity
+    # (chopper: sort + rearrange_user_bins, taxor_build.cpp:470-472)
     entries.sort(key=lambda b: -b.count)
+    entries = rearrange_bins(entries)
 
     n = len(entries)
     candidates = sorted(

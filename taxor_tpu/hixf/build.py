@@ -8,10 +8,10 @@ their FASTA files, split records chunk their hash set over consecutive
 technical bins (insert_into_bins.cpp:9-30: chunk_size = n/num_bins + 1).
 
 Deviations (documented):
-  - all in RAM, no hixf_tmp/ spill files (the reference streams the top two
-    levels through temp files purely to bound peak RSS,
-    hierarchical_build.cpp:69-117); a spill path can be added when building
-    GTDB-scale indexes,
+  - peak-RSS bounding uses an optional spill directory holding per-file and
+    per-subtree hash arrays as .npy files (the analog of the reference's
+    hixf_tmp/ temp hash files, hierarchical_build.cpp:69-117 /
+    temp_hash_file.cpp) instead of spilling only the top two levels,
   - hash-set chunking for split bins follows sorted hash order rather than
     the C++ unordered-set iteration order.  Split-bin membership totals per
     user bin are unchanged (runs are summed at query time), so
@@ -21,6 +21,7 @@ Deviations (documented):
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 import numpy as np
@@ -44,46 +45,105 @@ def hashes_for_files(filenames: list[str], scheme: HashScheme) -> np.ndarray:
     return build_hashes(record_seqs, scheme)
 
 
-def precompute_file_hashes(filenames: list[str],
-                           scheme: HashScheme) -> dict[str, np.ndarray]:
-    """Hash every file's records in ONE batched scan (the vectorized
-    scanner needs many lanes to amortize; per-file calls starve it).
-    Returns file -> sorted unique uint64 hash set."""
-    from ..hash.encode import build_record_seq
-    from ..hash.schemes import _syncmer_sets_batch, scaling_filter
+class HashStore:
+    """file/key -> uint64 hash array, optionally spilled to .npy files on
+    disk (the reference's hixf_tmp/ analog) so GTDB-scale builds bound
+    their peak RSS."""
+
+    def __init__(self, spill_dir: str | None = None):
+        self.spill_dir = spill_dir
+        self._data: dict[str, np.ndarray | str] = {}
+        self._counter = 0
+        if spill_dir:
+            os.makedirs(spill_dir, exist_ok=True)
+
+    def put(self, key: str, hashes: np.ndarray) -> None:
+        if self.spill_dir:
+            self._counter += 1
+            path = os.path.join(self.spill_dir,
+                                f"hashes_{self._counter:06d}.npy")
+            np.save(path, hashes)
+            self._data[key] = path
+        else:
+            self._data[key] = hashes
+
+    def get(self, key: str) -> np.ndarray:
+        v = self._data[key]
+        if isinstance(v, str):
+            return np.load(v)
+        return v
+
+    def __contains__(self, key: str) -> bool:
+        return key in self._data
+
+    def keys(self):
+        return self._data.keys()
+
+    def pop(self, key: str) -> None:
+        v = self._data.pop(key, None)
+        if isinstance(v, str) and os.path.exists(v):
+            os.remove(v)
+
+
+# target bytes of raw sequence hashed per batch in streaming mode
+_GROUP_BYTES = 256 * 1024 * 1024
+
+
+def precompute_file_hashes(
+    filenames: list[str],
+    scheme: HashScheme,
+    spill_dir: str | None = None,
+) -> HashStore:
+    """Hash every file's records in batched scans (the scanners need many
+    lanes/threads to amortize; per-file calls starve them).  Files are
+    processed in bounded groups so raw sequence never exceeds ~_GROUP_BYTES
+    of RAM; results land in a HashStore (RAM or spilled)."""
+    from ..hash.encode import build_record_seq, encode_dna4
     from ..hash.minimizer import minimiser_hashes
-    from ..hash.encode import encode_dna4
+    from ..hash.schemes import _syncmer_sets_batch, scaling_filter
 
     uniq_files = list(dict.fromkeys(filenames))
+    store = HashStore(spill_dir)
+
+    def flush(group_files, record_seqs, owner):
+        if scheme.use_syncmer:
+            trimmed = [build_record_seq(x) for x in record_seqs]
+            sets = _syncmer_sets_batch(trimmed, scheme, dna5=False)
+        else:
+            sets = [
+                minimiser_hashes(encode_dna4(x), scheme.kmer_size,
+                                 scheme.window_size)
+                for x in record_seqs
+            ]
+        per_file: dict[str, list[np.ndarray]] = {f: [] for f in group_files}
+        for i, h in zip(owner, sets):
+            per_file[group_files[i]].append(h)
+        for f in group_files:
+            parts = per_file[f]
+            h = (np.unique(np.concatenate(parts)) if parts
+                 else np.zeros(0, dtype=U64))
+            if scheme.scaling > 1:
+                h = scaling_filter(h, scheme.scaling)
+            store.put(f, h)
+
+    group_files: list[str] = []
     record_seqs: list[bytes] = []
     owner: list[int] = []
-    for i, f in enumerate(uniq_files):
+    group_bytes = 0
+    for f in uniq_files:
+        group_files.append(f)
+        fi = len(group_files) - 1
         for rec in iter_fastx(f):
             record_seqs.append(rec.seq)
-            owner.append(i)
-
-    per_file: dict[str, list[np.ndarray]] = {f: [] for f in uniq_files}
-    if scheme.use_syncmer:
-        trimmed = [build_record_seq(s) for s in record_seqs]
-        sets = _syncmer_sets_batch(trimmed, scheme, dna5=False)
-    else:
-        sets = [
-            minimiser_hashes(encode_dna4(s), scheme.kmer_size,
-                             scheme.window_size)
-            for s in record_seqs
-        ]
-    for i, h in zip(owner, sets):
-        per_file[uniq_files[i]].append(h)
-
-    out: dict[str, np.ndarray] = {}
-    for f in uniq_files:
-        parts = per_file[f]
-        h = (np.unique(np.concatenate(parts)) if parts
-             else np.zeros(0, dtype=U64))
-        if scheme.scaling > 1:
-            h = scaling_filter(h, scheme.scaling)
-        out[f] = h
-    return out
+            owner.append(fi)
+            group_bytes += len(rec.seq)
+        if group_bytes >= _GROUP_BYTES:
+            flush(group_files, record_seqs, owner)
+            group_files, record_seqs, owner = [], [], []
+            group_bytes = 0
+    if group_files:
+        flush(group_files, record_seqs, owner)
+    return store
 
 
 def split_chunks(hashes: np.ndarray, number_of_bins: int) -> list[np.ndarray]:
@@ -98,18 +158,23 @@ def build_hixf_from_layout(
     root: LayoutNode,
     scheme: HashScheme,
     hash_fn=None,
+    spill_dir: str | None = None,
 ) -> tuple[HIXF, dict[str, int]]:
     """Build the full HIXF.  ``hash_fn(filenames) -> uint64 array`` may be
-    injected for tests; defaults to hashing the FASTA files.
+    injected for tests; defaults to hashing the FASTA files.  With
+    ``spill_dir``, per-file hash sets and subtree unions live on disk and
+    are loaded per node, bounding peak RSS to ~one IXF's contents.
 
     Returns (hixf, user_bin_of_filename) where filenames are joined with
     ';' per record like the reference (update_user_bins.cpp:24-29).
     """
+    spill = HashStore(spill_dir) if spill_dir else None
     if hash_fn is None:
-        cache = precompute_file_hashes(root.all_filenames(), scheme)
+        cache = precompute_file_hashes(root.all_filenames(), scheme,
+                                       spill_dir=spill_dir)
 
         def hash_fn(filenames):
-            parts = [cache[f] for f in filenames]
+            parts = [cache.get(f) for f in filenames]
             if len(parts) == 1:
                 return parts[0]
             return (np.unique(np.concatenate(parts)) if parts
@@ -135,9 +200,13 @@ def build_hixf_from_layout(
 
         # children first (loop_over_children.cpp:43-87)
         for b in sorted(node.children):
-            child_pos, child_hashes = build_node(node.children[b])
+            child_pos, child_ref = build_node(node.children[b])
             next_ids[ixf_pos][b] = child_pos
-            per_bin[b] = child_hashes
+            if spill is not None:
+                per_bin[b] = spill.get(child_ref)
+                spill.pop(child_ref)
+            else:
+                per_bin[b] = child_ref
             # bin_maps stays -1: merged bin
 
         for rec in node.records:
@@ -163,6 +232,11 @@ def build_hixf_from_layout(
             if any(b.size for b in per_bin)
             else np.zeros(0, dtype=U64)
         )
+        per_bin.clear()
+        if spill is not None:
+            key = f"union_{ixf_pos}"
+            spill.put(key, union)
+            return ixf_pos, key
         return ixf_pos, union
 
     build_node(root)

@@ -32,6 +32,15 @@ def read_tsv(path: str) -> list[list[str]]:
     return lines
 
 
+def parse_gtdb_taxonomy_file(path: str) -> list[Species]:
+    """GTDB-style taxonomy input.  The reference ships only an empty
+    placeholder (src/taxonomy/parse_gtdb_taxonomy.cpp); GTDB metadata
+    exports use the same 6-column layout with GTDB lineage strings
+    (d__/p__/c__/o__/f__/g__/s__), which parse_refseq_taxonomy_file
+    already handles, so this is an alias kept for API parity."""
+    return parse_refseq_taxonomy_file(path)
+
+
 def parse_refseq_taxonomy_file(path: str) -> list[Species]:
     """6-column input TSV: accession, taxid, ftp-path, organism name,
     taxnames string, taxid string (parse_ncbi_taxonomy.cpp:14-39)."""

@@ -78,6 +78,26 @@ class TestBuild:
         ]
 
 
+class TestSpillBuild:
+    def test_spill_build_matches_ram_build(self, ref_set, built_index,
+                                           tmp_path):
+        tmp, tsv, gdir, genomes, reads = ref_set
+        out2 = os.path.join(str(tmp_path), "spill.taxor.npz")
+        spill = os.path.join(str(tmp_path), "spill_tmp")
+        index2 = run_build(BuildConfig(
+            input_file=tsv, input_sequence_dir=gdir,
+            output_filename=out2, kmer_size=16, syncmer_size=8,
+            use_syncmer=True, layout_mode="flat", layout_file="",
+            spill_dir=spill,
+        ))
+        _, index1 = built_index
+        for a, b in zip(index1.hixf.ixfs, index2.hixf.ixfs):
+            np.testing.assert_array_equal(a.fingerprints, b.fingerprints)
+        # spill files cleaned up as unions are consumed; per-file hashes
+        # remain until process exit (store owns them)
+        assert os.path.isdir(spill)
+
+
 class TestSearch:
     def _run(self, built_index, ref_set, engine, name):
         tmp, tsv, gdir, genomes, reads = ref_set

@@ -63,3 +63,54 @@ def test_kernel_matches_oracle_interpret():
         x = rows[:, 0] ^ rows[:, 1] ^ rows[:, 2] ^ fpr[r][m][:, None]
         expect = (x == 0).sum(axis=0)
         np.testing.assert_array_equal(out[r, :n_bins], expect)
+
+
+def test_fused_step_matches_oracle_interpret():
+    """Full fused device step (on-device probe math + kernel + segment
+    matmul) in interpreter mode, including invalid-hash masking across
+    all 4 packed byte lanes and inactive reads."""
+    import jax.numpy as jnp
+
+    from taxor_tpu.device.pallas_probe import (
+        choose_bin_tile4,
+        fused_probe_step,
+    )
+
+    rng = np.random.default_rng(9)
+    n_bins = 10
+    bins = [rng.integers(0, 2**63, 150, dtype=np.uint64)
+            for _ in range(n_bins)]
+    ixf = build_ixf(bins, max_elements_per_bin=300)
+    packed = prepare_fingerprints(ixf.fingerprints)
+
+    R, H = 16, 32
+    hashes = np.zeros((R, H), np.uint64)
+    mask = np.zeros((R, H), bool)
+    for r in range(R):
+        keys = np.unique(np.concatenate([
+            bins[r % n_bins][:8],
+            rng.integers(0, 2**63, 12, dtype=np.uint64),
+        ]))[:H]
+        hashes[r, : keys.shape[0]] = keys
+        mask[r, : keys.shape[0]] = True
+    active = np.ones(R, bool)
+    active[3] = False
+
+    onehot = np.eye(packed.shape[1] * 4, dtype=np.float32)
+    sums = np.asarray(fused_probe_step(
+        jnp.asarray(packed),
+        jnp.asarray((hashes >> np.uint64(32)).astype(np.uint32)),
+        jnp.asarray((hashes & np.uint64(0xFFFFFFFF)).astype(np.uint32)),
+        jnp.asarray(mask), jnp.asarray(active), jnp.asarray(onehot),
+        jnp.uint32(ixf.seed >> 32), jnp.uint32(ixf.seed & 0xFFFFFFFF),
+        jnp.uint32(ixf.block_length),
+        bin_tile4=choose_bin_tile4(*packed.shape), interpret=True,
+    ))
+    for r in range(R):
+        if not active[r]:
+            assert (sums[r] == 0).all()
+            continue
+        m = mask[r]
+        keys = hashes[r][m]
+        expect = ixf.bulk_count(keys)
+        np.testing.assert_array_equal(sums[r, :n_bins], expect)
