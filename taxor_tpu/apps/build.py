@@ -140,7 +140,8 @@ def run_build(config: BuildConfig) -> TaxorIndex:
             return parts[0]
         return np.unique(np.concatenate(parts))
 
-    hixf, _ = build_hixf_from_layout(layout, scheme, hash_fn=hash_fn)
+    hixf, _ = build_hixf_from_layout(layout, scheme, hash_fn=hash_fn,
+                                     threads=config.threads)
 
     # per-species bookkeeping (taxor_build.cpp:516-527)
     for ub, joined in enumerate(hixf.user_bin_filenames):

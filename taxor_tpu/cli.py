@@ -50,6 +50,9 @@ def _add_search(sub):
     p.add_argument("--engine", default="device",
                    choices=["device", "host", "sharded"])
     p.add_argument("--write-time", action="store_true")
+    p.add_argument("--profile-trace", default="",
+                   help="write a jax.profiler trace of the compute phase "
+                        "to this directory")
     return p
 
 
@@ -76,7 +79,13 @@ def main(argv: list[str] | None = None) -> int:
     _add_build(sub)
     _add_search(sub)
     _add_profile(sub)
+    parser.add_argument("--verbose", "-v", action="store_true",
+                        help="debug logging")
     args = parser.parse_args(argv)
+
+    from .utils.logging import setup_logging
+
+    setup_logging(getattr(args, "verbose", False))
 
     t0 = time.process_time()
     try:
@@ -109,6 +118,7 @@ def main(argv: list[str] | None = None) -> int:
                 error_rate=args.error_rate,
                 engine=args.engine,
                 write_time=args.write_time,
+                profile_trace=args.profile_trace,
             ))
         elif args.command == "profile":
             from .profile.profile import ProfileConfig, run_profile

@@ -159,6 +159,7 @@ def build_hixf_from_layout(
     scheme: HashScheme,
     hash_fn=None,
     spill_dir: str | None = None,
+    threads: int = 1,
 ) -> tuple[HIXF, dict[str, int]]:
     """Build the full HIXF.  ``hash_fn(filenames) -> uint64 array`` may be
     injected for tests; defaults to hashing the FASTA files.  With
@@ -185,22 +186,38 @@ def build_hixf_from_layout(
     bin_maps: list = []
     filenames: list[str] = []
     user_bin_of_filename: dict[str, int] = {}
+    import threading as _threading
 
-    def build_node(node: LayoutNode) -> tuple[int, np.ndarray]:
+    lock = _threading.Lock()
+
+    def build_node(node: LayoutNode, is_root: bool = False):
         """Returns (ixf_pos, union-of-subtree hashes)."""
-        ixf_pos = len(ixfs)
-        ixfs.append(None)  # reserve slot; children appended after
-        nb = node.num_technical_bins
-        next_ids.append(np.full(nb, ixf_pos, dtype=np.int64))
-        bin_maps.append(np.full(nb, -1, dtype=np.int64))
+        with lock:
+            ixf_pos = len(ixfs)
+            ixfs.append(None)  # reserve slot; children appended after
+            nb = node.num_technical_bins
+            next_ids.append(np.full(nb, ixf_pos, dtype=np.int64))
+            bin_maps.append(np.full(nb, -1, dtype=np.int64))
 
         per_bin: list[np.ndarray] = [
             np.zeros(0, dtype=U64) for _ in range(nb)
         ]
 
-        # children first (loop_over_children.cpp:43-87)
-        for b in sorted(node.children):
-            child_pos, child_ref = build_node(node.children[b])
+        # children first (loop_over_children.cpp:43-87); parallel at the
+        # root only, like the reference (threads>1 only at root level)
+        child_bins = sorted(node.children)
+        if is_root and threads > 1 and len(child_bins) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=threads) as ex:
+                results = list(ex.map(
+                    lambda b: (b, build_node(node.children[b])),
+                    child_bins,
+                ))
+        else:
+            results = [(b, build_node(node.children[b]))
+                       for b in child_bins]
+        for b, (child_pos, child_ref) in results:
             next_ids[ixf_pos][b] = child_pos
             if spill is not None:
                 per_bin[b] = spill.get(child_ref)
@@ -210,10 +227,11 @@ def build_hixf_from_layout(
             # bin_maps stays -1: merged bin
 
         for rec in node.records:
-            ub = len(filenames)
-            joined = ";".join(rec.filenames)
-            filenames.append(joined)
-            user_bin_of_filename[joined] = ub
+            with lock:
+                ub = len(filenames)
+                joined = ";".join(rec.filenames)
+                filenames.append(joined)
+                user_bin_of_filename[joined] = ub
             hashes = hash_fn(rec.filenames)
             if rec.number_of_bins == 1:
                 per_bin[rec.bin_index] = hashes
@@ -239,7 +257,7 @@ def build_hixf_from_layout(
             return ixf_pos, key
         return ixf_pos, union
 
-    build_node(root)
+    build_node(root, is_root=True)
     hixf = HIXF(
         ixfs=ixfs,
         next_ixf_id=next_ids,

@@ -45,6 +45,7 @@ class SearchConfig:
     # sharded engine mesh ('reads' x 'bins'); 0 = auto over all devices
     mesh_reads: int = 0
     mesh_bins: int = 0
+    profile_trace: str = ""  # jax.profiler trace directory
 
 
 HEADER = (
@@ -97,12 +98,11 @@ def search_single(
     ub2sp = index.user_bin_to_species()
     dfs_rank = index.hixf.user_bin_dfs_order()
 
-    reads_io = 0.0
-    compute = 0.0
-    t_io = time.perf_counter()
-    for chunk in iter_fastx_chunks(query_file, config.batch_size):
-        reads_io += time.perf_counter() - t_io
-        t0 = time.perf_counter()
+    def prepare(chunk):
+        """Host-side work for one chunk: hash extraction + thresholds.
+        Runs in a prefetch thread so it overlaps the device compute of
+        the previous chunk (the reference overlaps via std::async,
+        taxor_search.cpp:162-180)."""
         seqs = [rec.seq for rec in chunk]
         hash_lists = search_hashes(seqs, scheme)
         hash_counts = [h.shape[0] for h in hash_lists]
@@ -119,6 +119,27 @@ def search_single(
             ],
             dtype=np.int64,
         )
+        return chunk, hash_lists, hash_counts, thresholds
+
+    def prefetched():
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(1) as ex:
+            fut = None
+            for chunk in iter_fastx_chunks(query_file, config.batch_size):
+                nfut = ex.submit(prepare, chunk)
+                if fut is not None:
+                    yield fut.result()
+                fut = nfut
+            if fut is not None:
+                yield fut.result()
+
+    reads_io = 0.0
+    compute = 0.0
+    t_io = time.perf_counter()
+    for chunk, hash_lists, hash_counts, thresholds in prefetched():
+        reads_io += time.perf_counter() - t_io
+        t0 = time.perf_counter()
 
         if config.engine == "host":
             all_pairs = [
@@ -191,7 +212,10 @@ def run_search(config: SearchConfig) -> None:
             "kmer selection schemes"
         )
 
-    with open(config.report_file, "w") as out:
+    from ..utils.logging import maybe_profile
+
+    with open(config.report_file, "w") as out, \
+            maybe_profile(config.profile_trace):
         out.write(HEADER)
         timings = {"index_io": 0.0, "reads_io": 0.0, "compute": 0.0}
         for query in query_files:
