@@ -126,16 +126,24 @@ def main():
         dhixf = DeviceHIXF(index.hixf)
         log("bench: compiling device step ...")
         t0 = time.perf_counter()
-        dhixf.counts(hashes, mask, thresholds)
+        counts, emitted = dhixf.counts_async(hashes, mask, thresholds)()
         log(f"bench: device compile+warmup {time.perf_counter()-t0:.1f}s")
-        n_pass = 5
+        # pipelined throughput: keep one batch in flight (the search
+        # pipeline's dispatch-ahead pattern)
+        n_pass = 10
         t0 = time.perf_counter()
-        for _ in range(n_pass):
-            counts, emitted = dhixf.counts(hashes, mask, thresholds)
+        pending = dhixf.counts_async(hashes, mask, thresholds)
+        for _ in range(n_pass - 1):
+            nxt = dhixf.counts_async(hashes, mask, thresholds)
+            pending()
+            pending = nxt
+        pending()
         t_dev = (time.perf_counter() - t0) / n_pass
+        # full pipeline: hash extraction + device, overlapped
         t0 = time.perf_counter()
+        pending = dhixf.counts_async(hashes, mask, thresholds)
         search_hashes(seqs, scheme)
-        dhixf.counts(hashes, mask, thresholds)
+        pending()
         t_full = time.perf_counter() - t0
         device.update(
             t_device=t_dev,

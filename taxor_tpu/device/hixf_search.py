@@ -146,6 +146,66 @@ class DeviceHIXF:
                 if int(c) >= 0:
                     self.parent[int(c)] = (i, r)
 
+    def counts_async(self, hashes, mask, thresholds):
+        """Dispatch the batch and return a zero-arg collector.
+
+        Single-level Pallas indexes dispatch fully asynchronously (no
+        device sync until the collector runs), which lets the pipeline
+        overlap the ~tens-of-ms device round-trip latency of one batch
+        with host work and dispatch of the next.  Hierarchical indexes
+        fall back to the synchronous traversal (descent decisions need
+        the parent sums on host).
+        """
+        if (len(self.ixfs) == 1 and self.ixfs[0].engine == "pallas"
+                and self.mesh is None):
+            from .pallas_probe import (
+                _HASH_UNROLL,
+                _READ_TILE,
+                choose_bin_tile4,
+                fused_probe_step,
+            )
+
+            R = hashes.shape[0]
+            rpad = (-R) % _READ_TILE
+            hpad = (-hashes.shape[1]) % _HASH_UNROLL
+            if rpad or hpad:
+                hashes = np.pad(hashes, ((0, rpad), (0, hpad)))
+                mask = np.pad(mask, ((0, rpad), (0, hpad)))
+            thresholds = np.asarray(thresholds, dtype=np.int64)
+            dixf = self.ixfs[0]
+            sums_dev = fused_probe_step(
+                dixf.fp,
+                jnp.asarray((hashes >> np.uint64(32)).astype(np.uint32)),
+                jnp.asarray(
+                    (hashes & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+                ),
+                jnp.asarray(mask),
+                jnp.asarray(np.ones(hashes.shape[0], dtype=bool)),
+                dixf.run_onehot,
+                dixf.seed_hi,
+                dixf.seed_lo,
+                dixf.bl_u32,
+                bin_tile4=choose_bin_tile4(*dixf.fp.shape),
+            )
+
+            def collect():
+                sums = np.asarray(sums_dev).astype(np.int64)[:R]
+                users = dixf.run_users
+                leaf = users >= 0
+                counts = np.zeros((R, self.num_user_bins), dtype=np.int64)
+                emitted = np.zeros((R, self.num_user_bins), dtype=bool)
+                s = sums[:, leaf]
+                u = users[leaf]
+                emit = s >= thresholds[:R, None]
+                counts[:, u] = np.where(emit, s, 0)
+                emitted[:, u] = emit
+                return counts, emitted
+
+            return collect
+
+        result = self.counts(hashes, mask, thresholds)
+        return lambda: result
+
     def counts(
         self,
         hashes: np.ndarray,  # uint64 [R, H] padded

@@ -134,9 +134,18 @@ def search_single(
             if fut is not None:
                 yield fut.result()
 
+    def write_rows(chunk, hash_counts, all_pairs):
+        rows = []
+        for rec, hc, pairs in zip(chunk, hash_counts, all_pairs):
+            rows.append(
+                _format_rows(rec.id, len(rec.seq), hc, pairs, index, ub2sp)
+            )
+        out_handle.write("".join(rows))
+
     reads_io = 0.0
     compute = 0.0
     t_io = time.perf_counter()
+    pending = None  # (chunk, hash_counts, thresholds, collect)
     for chunk, hash_lists, hash_counts, thresholds in prefetched():
         reads_io += time.perf_counter() - t_io
         t0 = time.perf_counter()
@@ -146,23 +155,36 @@ def search_single(
                 index.hixf.membership(h, int(t))
                 for h, t in zip(hash_lists, thresholds)
             ]
+            write_rows(chunk, hash_counts, all_pairs)
         else:
-            all_pairs = _device_pairs(
-                device_hixf, hash_lists, thresholds, dfs_rank
-            )
-
-        rows = []
-        for rec, hc, pairs in zip(chunk, hash_counts, all_pairs):
-            rows.append(
-                _format_rows(rec.id, len(rec.seq), hc, pairs, index, ub2sp)
-            )
-        out_handle.write("".join(rows))
+            # dispatch this batch, then drain the previous one — hides the
+            # device round-trip latency behind the next dispatch
+            collect = _device_dispatch(device_hixf, hash_lists, thresholds)
+            if pending is not None:
+                _drain(pending, thresholds_of(pending), dfs_rank, write_rows)
+            pending = (chunk, hash_counts, thresholds, collect)
         compute += time.perf_counter() - t0
         t_io = time.perf_counter()
+    if pending is not None:
+        t0 = time.perf_counter()
+        _drain(pending, thresholds_of(pending), dfs_rank, write_rows)
+        compute += time.perf_counter() - t0
     return {"reads_io": reads_io, "compute": compute}
 
 
-def _device_pairs(device_hixf, hash_lists, thresholds, dfs_rank):
+def thresholds_of(pending):
+    return pending[2]
+
+
+def _drain(pending, thresholds, dfs_rank, write_rows):
+    chunk, hash_counts, _, collect = pending
+    counts, emitted = collect()
+    all_pairs = _pairs_from_counts(counts, emitted, dfs_rank)
+    write_rows(chunk, hash_counts, all_pairs)
+
+
+def _device_dispatch(device_hixf, hash_lists, thresholds):
+    """Pad the batch and dispatch it; returns the collector."""
     R = len(hash_lists)
     H = max(1, max((h.shape[0] for h in hash_lists), default=1))
     # bucket H to limit recompilation
@@ -172,9 +194,12 @@ def _device_pairs(device_hixf, hash_lists, thresholds, dfs_rank):
     for r, h in enumerate(hash_lists):
         hashes[r, : h.shape[0]] = h
         mask[r, : h.shape[0]] = True
-    counts, emitted = device_hixf.counts(hashes, mask, thresholds)
+    return device_hixf.counts_async(hashes, mask, thresholds)
+
+
+def _pairs_from_counts(counts, emitted, dfs_rank):
     pairs_per_read = []
-    for r in range(R):
+    for r in range(counts.shape[0]):
         ubs = np.nonzero(emitted[r])[0]
         order = np.argsort(dfs_rank[ubs], kind="stable")
         pairs_per_read.append(

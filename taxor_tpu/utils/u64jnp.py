@@ -20,22 +20,62 @@ _M2_HI = jnp.uint32(0xC4CEB9FE)
 _M2_LO = jnp.uint32(0x1A85EC53)
 
 
+# TPU VPUs have no native 32-bit integer multiply — XLA emulates it at
+# ~100x cost.  All widening multiplies therefore go through 11-bit limbs
+# multiplied EXACTLY in float32 (products < 2^22, partial sums < 3*2^22 <
+# 2^24, both inside the f32 mantissa), recombined with cheap integer
+# shifts/adds.  Bit-exact vs the numpy uint64 reference (tested).
+_MASK11 = jnp.uint32(0x7FF)
+
+
+def _limbs3(x):
+    x = x.astype(U32)
+    f = jnp.float32
+    return (
+        (x & _MASK11).astype(f),
+        ((x >> 11) & _MASK11).astype(f),
+        (x >> 22).astype(f),
+    )
+
+
+def _limb_products(a, b):
+    """Per-power partial sums c0..c4 (exact float32) of a*b via 11-bit
+    limbs: a*b = sum_k c_k * 2^(11k)."""
+    a0, a1, a2 = _limbs3(a)
+    b0, b1, b2 = _limbs3(b)
+    c0 = a0 * b0
+    c1 = a0 * b1 + a1 * b0
+    c2 = a0 * b2 + a1 * b1 + a2 * b0
+    c3 = a1 * b2 + a2 * b1
+    c4 = a2 * b2
+    return (
+        c0.astype(U32),
+        c1.astype(U32),
+        c2.astype(U32),
+        c3.astype(U32),
+        c4.astype(U32),
+    )
+
+
 def umul32_full(a, b):
     """(hi, lo) of the 64-bit product of two uint32 arrays."""
-    a = a.astype(U32)
-    b = b.astype(U32)
-    a0 = a & _MASK16
-    a1 = a >> 16
-    b0 = b & _MASK16
-    b1 = b >> 16
-    p00 = a0 * b0
-    p01 = a0 * b1
-    p10 = a1 * b0
-    p11 = a1 * b1
-    mid = (p00 >> 16) + (p01 & _MASK16) + (p10 & _MASK16)
-    lo = (p00 & _MASK16) | (mid << 16)
-    hi = p11 + (p01 >> 16) + (p10 >> 16) + (mid >> 16)
+    c0, c1, c2, c3, c4 = _limb_products(a, b)
+    u1_lo = c1 << 11
+    u1_hi = c1 >> 21
+    u2_lo = c2 << 22
+    u2_hi = c2 >> 10
+    s1 = c0 + u1_lo
+    carry1 = (s1 < c0).astype(U32)
+    lo = s1 + u2_lo
+    carry2 = (lo < s1).astype(U32)
+    hi = u1_hi + u2_hi + carry1 + carry2 + (c3 << 1) + (c4 << 12)
     return hi, lo
+
+
+def umul32_lo(a, b):
+    """Low 32 bits of a 32x32 product (wrapping)."""
+    c0, c1, c2, _, _ = _limb_products(a, b)
+    return c0 + (c1 << 11) + (c2 << 22)
 
 
 def add64(ahi, alo, bhi, blo):
@@ -48,7 +88,7 @@ def add64(ahi, alo, bhi, blo):
 def mul64_lo(ahi, alo, bhi, blo):
     """Low 64 bits of a 64x64 product as a (hi, lo) pair."""
     hi0, lo = umul32_full(alo, blo)
-    hi = hi0 + alo * bhi + ahi * blo  # wrapping uint32 products
+    hi = hi0 + umul32_lo(alo, bhi) + umul32_lo(ahi, blo)
     return hi, lo
 
 
