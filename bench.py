@@ -36,7 +36,7 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def build_problem(n_species=256, genome_len=20000, n_reads=1024,
+def build_problem(n_species=256, genome_len=20000, n_reads=2048,
                   read_len=2000, error_rate=0.02, seed=0):
     import os
     import tempfile
@@ -128,16 +128,19 @@ def main():
         t0 = time.perf_counter()
         counts, emitted = dhixf.counts_async(hashes, mask, thresholds)()
         log(f"bench: device compile+warmup {time.perf_counter()-t0:.1f}s")
-        # pipelined throughput: keep one batch in flight (the search
-        # pipeline's dispatch-ahead pattern)
+        # pipelined throughput: two batches in flight (the search
+        # pipeline's dispatch-ahead pattern, one deeper)
         n_pass = 10
+        from collections import deque
+
         t0 = time.perf_counter()
-        pending = dhixf.counts_async(hashes, mask, thresholds)
-        for _ in range(n_pass - 1):
-            nxt = dhixf.counts_async(hashes, mask, thresholds)
-            pending()
-            pending = nxt
-        pending()
+        q = deque()
+        for _ in range(n_pass):
+            q.append(dhixf.counts_async(hashes, mask, thresholds))
+            if len(q) > 2:
+                q.popleft()()
+        while q:
+            q.popleft()()
         t_dev = (time.perf_counter() - t0) / n_pass
         # full pipeline: hash extraction + device, overlapped
         t0 = time.perf_counter()

@@ -146,6 +146,15 @@ class DeviceHIXF:
                 if int(c) >= 0:
                     self.parent[int(c)] = (i, r)
 
+    def _all_active(self, n: int):
+        """Cached all-ones active mask (saves one upload per batch)."""
+        cache = getattr(self, "_active_cache", None)
+        if cache is None:
+            cache = self._active_cache = {}
+        if n not in cache:
+            cache[n] = jnp.asarray(np.ones(n, dtype=bool))
+        return cache[n]
+
     def counts_async(self, hashes, mask, thresholds):
         """Dispatch the batch and return a zero-arg collector.
 
@@ -163,6 +172,7 @@ class DeviceHIXF:
                 _READ_TILE,
                 choose_bin_tile4,
                 fused_probe_step,
+                pack_batch,
             )
 
             R = hashes.shape[0]
@@ -175,12 +185,8 @@ class DeviceHIXF:
             dixf = self.ixfs[0]
             sums_dev = fused_probe_step(
                 dixf.fp,
-                jnp.asarray((hashes >> np.uint64(32)).astype(np.uint32)),
-                jnp.asarray(
-                    (hashes & np.uint64(0xFFFFFFFF)).astype(np.uint32)
-                ),
-                jnp.asarray(mask),
-                jnp.asarray(np.ones(hashes.shape[0], dtype=bool)),
+                jnp.asarray(pack_batch(hashes, mask)),  # ONE upload
+                self._all_active(hashes.shape[0]),
                 dixf.run_onehot,
                 dixf.seed_hi,
                 dixf.seed_lo,
@@ -238,11 +244,9 @@ class DeviceHIXF:
                 hashes = np.pad(hashes, ((0, rpad2), (0, hpad2)))
                 mask = np.pad(mask, ((0, rpad2), (0, hpad2)))
                 thresholds = np.pad(thresholds, (0, rpad2))
-            h_hi = jnp.asarray((hashes >> np.uint64(32)).astype(np.uint32))
-            h_lo = jnp.asarray(
-                (hashes & np.uint64(0xFFFFFFFF)).astype(np.uint32)
-            )
-            mask_dev = jnp.asarray(mask)
+            from .pallas_probe import pack_batch
+
+            batch_dev = jnp.asarray(pack_batch(hashes, mask))
 
         Rp = hashes.shape[0]
         run_sums: dict[int, np.ndarray] = {}
@@ -263,7 +267,7 @@ class DeviceHIXF:
                 from .pallas_probe import choose_bin_tile4, fused_probe_step
 
                 sums = fused_probe_step(
-                    dixf.fp, h_hi, h_lo, mask_dev, jnp.asarray(act),
+                    dixf.fp, batch_dev, jnp.asarray(act),
                     dixf.run_onehot, dixf.seed_hi, dixf.seed_lo,
                     dixf.bl_u32,
                     bin_tile4=choose_bin_tile4(*dixf.fp.shape),

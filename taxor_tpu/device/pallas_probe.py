@@ -118,12 +118,24 @@ def _probe_call(fp_packed, pos, fpr4, bin_tile4, interpret):
     return jnp.moveaxis(out, 1, 2).reshape(R, 4 * B4)
 
 
+def pack_batch(hashes: np.ndarray, mask: np.ndarray) -> np.ndarray:
+    """Combine hash halves + validity mask into ONE uint32 array so a
+    batch costs a single host->device transfer (each synchronous upload
+    pays a full tunnel round-trip on remote-attached TPUs)."""
+    return np.concatenate(
+        [
+            (hashes >> np.uint64(32)).astype(np.uint32),
+            (hashes & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+            mask.astype(np.uint32),
+        ],
+        axis=1,
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("bin_tile4", "interpret"))
 def fused_probe_step(
     fp_packed,  # int32 [S+1, B4]
-    h_hi,  # uint32 [R, H]
-    h_lo,  # uint32 [R, H]
-    mask,  # bool [R, H]  valid-hash mask
+    batch,  # uint32 [R, 3H]: [h_hi | h_lo | mask] (pack_batch)
     active,  # bool [R]    active-read mask (frontier descent)
     onehot,  # float32 [4*B4, n_runs]
     seed_hi,  # uint32 scalar
@@ -138,7 +150,11 @@ def fused_probe_step(
     shares (R, H, S+1, B4) shapes.  Returns int32 [R, n_runs] run sums."""
     from ..utils.u64jnp import probe_positions_and_fprint4
 
-    R, H = h_hi.shape
+    R = batch.shape[0]
+    H = batch.shape[1] // 3
+    h_hi = batch[:, :H]
+    h_lo = batch[:, H : 2 * H]
+    mask = batch[:, 2 * H :] != 0
     S1 = fp_packed.shape[0]
     pos, f4 = probe_positions_and_fprint4(h_hi, h_lo, seed_hi, seed_lo,
                                           block_length)

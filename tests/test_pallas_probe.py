@@ -96,12 +96,13 @@ def test_fused_step_matches_oracle_interpret():
     active = np.ones(R, bool)
     active[3] = False
 
+    from taxor_tpu.device.pallas_probe import pack_batch
+
     onehot = np.eye(packed.shape[1] * 4, dtype=np.float32)
     sums = np.asarray(fused_probe_step(
         jnp.asarray(packed),
-        jnp.asarray((hashes >> np.uint64(32)).astype(np.uint32)),
-        jnp.asarray((hashes & np.uint64(0xFFFFFFFF)).astype(np.uint32)),
-        jnp.asarray(mask), jnp.asarray(active), jnp.asarray(onehot),
+        jnp.asarray(pack_batch(hashes, mask)),
+        jnp.asarray(active), jnp.asarray(onehot),
         jnp.uint32(ixf.seed >> 32), jnp.uint32(ixf.seed & 0xFFFFFFFF),
         jnp.uint32(ixf.block_length),
         bin_tile4=choose_bin_tile4(*packed.shape), interpret=True,
