@@ -22,9 +22,9 @@ Documented deviations from chopper:
     sizing only, classification output is unaffected,
   - transition ranges are capped (MAX_SPLIT, MAX_MERGE) to bound the
     Python DP; chopper searches the full range,
-  - similarity-based user-bin rearrangement (chopper's
-    ``rearrange_user_bins``) is not yet implemented; bins are ordered by
-    descending cardinality,
+  - similarity-based user-bin rearrangement uses greedy HLL-Jaccard
+    nearest-neighbor chaining (see ``rearrange_bins``) instead of
+    chopper's interval-wise agglomerative clustering,
   - the expected-query-cost model is TPU-native: probing a level with B
     technical bins costs ``c0 + B/512`` relative units (lane tiles per
     probe row), weighted by each user bin's share of hashes, instead of
@@ -298,9 +298,10 @@ def compute_layout_from_hashes(
                 sketch=make_sketch(hashes),
             )
         )
-    # order by descending cardinality, then chain by similarity
-    # (chopper: sort + rearrange_user_bins, taxor_build.cpp:470-472)
-    entries.sort(key=lambda b: -b.count)
+    # order by descending cardinality (ties broken by filename so the
+    # layout is invariant to taxonomy-input order), then chain by
+    # similarity (chopper: sort + rearrange_user_bins)
+    entries.sort(key=lambda b: (-b.count, b.filenames[0]))
     entries = rearrange_bins(entries)
 
     n = len(entries)

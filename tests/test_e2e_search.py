@@ -171,3 +171,32 @@ class TestSearch:
                                 report_file=b, engine="device",
                                 batch_size=1024))
         assert open(a).read() == open(b).read()
+
+
+class TestOrderInvariance:
+    def test_search_rows_invariant_to_taxonomy_order(self, ref_set,
+                                                     tmp_path):
+        # SURVEY §4 property test: permuting the taxonomy input rows must
+        # not change the classification content (row order per read may
+        # follow the layout's DFS order, so compare row sets)
+        tmp, tsv, gdir, genomes, reads = ref_set
+        lines = open(tsv).read().splitlines()
+        tsv2 = os.path.join(str(tmp_path), "tax_rev.tsv")
+        open(tsv2, "w").write("\n".join(reversed(lines)) + "\n")
+
+        outs = []
+        for name, t in [("fwd", tsv), ("rev", tsv2)]:
+            out = os.path.join(str(tmp_path), f"{name}.npz")
+            run_build(BuildConfig(
+                input_file=t, input_sequence_dir=gdir, output_filename=out,
+                kmer_size=16, syncmer_size=8, use_syncmer=True,
+                layout_mode="auto", tmax=64, layout_file="",
+            ))
+            rep = os.path.join(str(tmp_path), f"{name}.tsv")
+            run_search(SearchConfig(index_file=out, query_file=reads,
+                                    report_file=rep, engine="host",
+                                    percentage=0.3))
+            outs.append(rep)
+        rows_a = set(open(outs[0]).read().splitlines()[1:])
+        rows_b = set(open(outs[1]).read().splitlines()[1:])
+        assert rows_a == rows_b
