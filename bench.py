@@ -124,11 +124,19 @@ def main():
         import jax
 
         dhixf = DeviceHIXF(index.hixf)
+
+        use_topk = dhixf.topk_async(hashes, mask, thresholds) is not None
+
+        def dispatch():
+            if use_topk:
+                return dhixf.topk_async(hashes, mask, thresholds)
+            return dhixf.counts_async(hashes, mask, thresholds)
+
         log("bench: compiling device step ...")
         t0 = time.perf_counter()
-        counts, emitted = dhixf.counts_async(hashes, mask, thresholds)()
+        first = dispatch()()
         log(f"bench: device compile+warmup {time.perf_counter()-t0:.1f}s")
-        # pipelined throughput: two batches in flight (the search
+        # pipelined throughput: three batches in flight (the search
         # pipeline's dispatch-ahead pattern, one deeper)
         n_pass = 10
         from collections import deque
@@ -136,22 +144,26 @@ def main():
         t0 = time.perf_counter()
         q = deque()
         for _ in range(n_pass):
-            q.append(dhixf.counts_async(hashes, mask, thresholds))
-            if len(q) > 2:
+            q.append(dispatch())
+            if len(q) > 3:
                 q.popleft()()
         while q:
             q.popleft()()
         t_dev = (time.perf_counter() - t0) / n_pass
         # full pipeline: hash extraction + device, overlapped
         t0 = time.perf_counter()
-        pending = dhixf.counts_async(hashes, mask, thresholds)
+        pending = dispatch()
         search_hashes(seqs, scheme)
         pending()
         t_full = time.perf_counter() - t0
+        if use_topk:
+            classified = float((first[0][:, 0] >= 0).mean())
+        else:
+            classified = float(first[1].any(axis=1).mean())
         device.update(
             t_device=t_dev,
             t_full=t_full,
-            classified=float(emitted.any(axis=1).mean()),
+            classified=classified,
             backend=jax.default_backend(),
         )
 

@@ -155,6 +155,63 @@ class DeviceHIXF:
             cache[n] = jnp.asarray(np.ones(n, dtype=bool))
         return cache[n]
 
+    def topk_async(self, hashes, mask, thresholds, k: int = 16):
+        """Compact dispatch for flat single-IXF indexes: device-side
+        threshold + top-k bin compaction (finalize_topk) so only
+        [R, 2k] int32 returns over the (latency-bound) device link.
+
+        Returns a zero-arg collector yielding (vals, users) int32
+        [R, k] arrays, or None when this index needs the dense path
+        (hierarchy, mesh, or XLA engine).
+        """
+        if not (len(self.ixfs) == 1 and self.ixfs[0].engine == "pallas"
+                and self.mesh is None):
+            return None
+        from .pallas_probe import (
+            _HASH_UNROLL,
+            _READ_TILE,
+            choose_bin_tile4,
+            finalize_topk,
+            fused_probe_step,
+            pack_batch,
+        )
+
+        R = hashes.shape[0]
+        rpad = (-R) % _READ_TILE
+        hpad = (-hashes.shape[1]) % _HASH_UNROLL
+        if rpad or hpad:
+            hashes = np.pad(hashes, ((0, rpad), (0, hpad)))
+            mask = np.pad(mask, ((0, rpad), (0, hpad)))
+        dixf = self.ixfs[0]
+        run_users_dev = getattr(dixf, "_run_users_dev", None)
+        if run_users_dev is None:
+            run_users_dev = jnp.asarray(dixf.run_users.astype(np.int32))
+            dixf._run_users_dev = run_users_dev
+        thr_dev = jnp.asarray(
+            np.pad(np.asarray(thresholds, dtype=np.int32), (0, rpad))
+        )
+        sums_dev = fused_probe_step(
+            dixf.fp,
+            jnp.asarray(pack_batch(hashes, mask)),
+            self._all_active(hashes.shape[0]),
+            dixf.run_onehot,
+            dixf.seed_hi,
+            dixf.seed_lo,
+            dixf.bl_u32,
+            bin_tile4=choose_bin_tile4(*dixf.fp.shape),
+        )
+        packed_dev = finalize_topk(sums_dev, thr_dev, run_users_dev, k)
+        try:  # overlap the device->host copy with later dispatches
+            packed_dev.copy_to_host_async()
+        except Exception:
+            pass
+
+        def collect():
+            packed = np.asarray(packed_dev)[:R]
+            return packed[:, :k], packed[:, k:]
+
+        return collect
+
     def counts_async(self, hashes, mask, thresholds):
         """Dispatch the batch and return a zero-arg collector.
 

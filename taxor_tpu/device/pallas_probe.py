@@ -173,6 +173,39 @@ def fused_probe_step(
     ).astype(jnp.int32)
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def finalize_topk(sums, thresholds, run_users, k: int):
+    """Device-side emission compaction for single-level (flat) indexes.
+
+    The tunneled-TPU return path is latency/bandwidth bound (~40 ms +
+    ~15 MB/s), so downloading the dense [R, n_runs] count matrix dominates
+    the whole search step.  Instead: apply the per-read threshold on
+    device, take the top-k candidate bins, and ship one packed
+    [R, 2k] int32 array (counts | user bins).  The host applies the exact
+    float64 ``count >= 0.8*max`` rule (taxor_search.cpp:285) to the
+    candidates and falls back to the host oracle for the (rare) reads
+    where k candidates all survive — i.e. truncation was possible.
+
+    sums:       int32 [R, n_runs] run sums (runs = user bins when flat)
+    thresholds: int32 [R]
+    run_users:  int32 [n_runs], -1 for merged runs (excluded)
+    Returns packed int32 [R, 2k]: [:, :k] counts desc (-1 = below
+    threshold / padding), [:, k:] their user bins.
+    """
+    n_runs = sums.shape[1]
+    valid = (sums >= thresholds[:, None]) & (run_users >= 0)[None, :]
+    vs = jnp.where(valid, sums, jnp.int32(-1))
+    kk = min(k, n_runs)
+    vals, idx = jax.lax.top_k(vs, kk)
+    users = run_users[idx]
+    users = jnp.where(vals >= 0, users, jnp.int32(-1))
+    if kk < k:
+        pad = ((0, 0), (0, k - kk))
+        vals = jnp.pad(vals, pad, constant_values=-1)
+        users = jnp.pad(users, pad, constant_values=-1)
+    return jnp.concatenate([vals, users], axis=1)
+
+
 def prepare_fingerprints(fingerprints: np.ndarray) -> np.ndarray:
     """uint8 [S, B] -> packed int32 [S+1, Bpad/4] with a zero sentinel
     row appended.  Bins pad to a 4*LANE multiple so each packed tile has

@@ -161,30 +161,32 @@ def search_single(
             # device round-trip latency behind the next dispatch
             collect = _device_dispatch(device_hixf, hash_lists, thresholds)
             if pending is not None:
-                _drain(pending, thresholds_of(pending), dfs_rank, write_rows)
-            pending = (chunk, hash_counts, thresholds, collect)
+                _drain(pending, index, dfs_rank, write_rows)
+            pending = (chunk, hash_counts, thresholds, collect, hash_lists)
         compute += time.perf_counter() - t0
         t_io = time.perf_counter()
     if pending is not None:
         t0 = time.perf_counter()
-        _drain(pending, thresholds_of(pending), dfs_rank, write_rows)
+        _drain(pending, index, dfs_rank, write_rows)
         compute += time.perf_counter() - t0
     return {"reads_io": reads_io, "compute": compute}
 
 
-def thresholds_of(pending):
-    return pending[2]
-
-
-def _drain(pending, thresholds, dfs_rank, write_rows):
-    chunk, hash_counts, _, collect = pending
-    counts, emitted = collect()
-    all_pairs = _pairs_from_counts(counts, emitted, dfs_rank)
+def _drain(pending, index, dfs_rank, write_rows):
+    chunk, hash_counts, thresholds, (kind, collect), hash_lists = pending
+    if kind == "topk":
+        vals, users = collect()
+        all_pairs = _pairs_from_topk(
+            vals, users, thresholds, hash_lists, index, dfs_rank
+        )
+    else:
+        counts, emitted = collect()
+        all_pairs = _pairs_from_counts(counts, emitted, dfs_rank)
     write_rows(chunk, hash_counts, all_pairs)
 
 
 def _device_dispatch(device_hixf, hash_lists, thresholds):
-    """Pad the batch and dispatch it; returns the collector."""
+    """Pad the batch and dispatch it; returns (kind, collector)."""
     R = len(hash_lists)
     H = max(1, max((h.shape[0] for h in hash_lists), default=1))
     # bucket H to limit recompilation
@@ -194,7 +196,31 @@ def _device_dispatch(device_hixf, hash_lists, thresholds):
     for r, h in enumerate(hash_lists):
         hashes[r, : h.shape[0]] = h
         mask[r, : h.shape[0]] = True
-    return device_hixf.counts_async(hashes, mask, thresholds)
+    collect = device_hixf.topk_async(hashes, mask, thresholds)
+    if collect is not None:
+        return "topk", collect
+    return "dense", device_hixf.counts_async(hashes, mask, thresholds)
+
+
+def _pairs_from_topk(vals, users, thresholds, hash_lists, index, dfs_rank):
+    """Per-read pairs from the compact device result.  A read whose k-th
+    candidate still passes the 0.8*max rule may have lost qualifying bins
+    to truncation — re-run the exact host oracle for it (rare)."""
+    k = vals.shape[1]
+    pairs_per_read = []
+    for r in range(vals.shape[0]):
+        n = int((vals[r] >= 0).sum())
+        if n == k and float(vals[r, k - 1]) >= float(vals[r, 0]) * 0.8:
+            pairs_per_read.append(
+                index.hixf.membership(hash_lists[r], int(thresholds[r]))
+            )
+            continue
+        u = users[r, :n]
+        order = np.argsort(dfs_rank[u], kind="stable")
+        pairs_per_read.append(
+            [(int(u[i]), int(vals[r, i])) for i in order]
+        )
+    return pairs_per_read
 
 
 def _pairs_from_counts(counts, emitted, dfs_rank):
