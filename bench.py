@@ -123,13 +123,17 @@ def main():
     def device_phase():
         import jax
 
-        dhixf = DeviceHIXF(index.hixf)
+        from taxor_tpu.device.pallas_probe import pack_hash_lists
 
-        use_topk = dhixf.topk_async(hashes, mask, thresholds) is not None
+        dhixf = DeviceHIXF(index.hixf)
+        use_topk = dhixf.flat_fast_path
 
         def dispatch():
+            # per-pass packing is part of the measured dispatch cost, as
+            # in the production pipeline
             if use_topk:
-                return dhixf.topk_async(hashes, mask, thresholds)
+                batch = pack_hash_lists(hash_lists, Hpad)
+                return dhixf.topk_async_packed(batch, R, thresholds)
             return dhixf.counts_async(hashes, mask, thresholds)
 
         log("bench: compiling device step ...")

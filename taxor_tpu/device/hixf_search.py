@@ -155,6 +155,13 @@ class DeviceHIXF:
             cache[n] = jnp.asarray(np.ones(n, dtype=bool))
         return cache[n]
 
+    @property
+    def flat_fast_path(self) -> bool:
+        """True when the compact top-k dispatch applies: one IXF, Pallas
+        engine, no mesh."""
+        return (len(self.ixfs) == 1 and self.ixfs[0].engine == "pallas"
+                and self.mesh is None)
+
     def topk_async(self, hashes, mask, thresholds, k: int = 16):
         """Compact dispatch for flat single-IXF indexes: device-side
         threshold + top-k bin compaction (finalize_topk) so only
@@ -164,17 +171,9 @@ class DeviceHIXF:
         [R, k] arrays, or None when this index needs the dense path
         (hierarchy, mesh, or XLA engine).
         """
-        if not (len(self.ixfs) == 1 and self.ixfs[0].engine == "pallas"
-                and self.mesh is None):
+        if not self.flat_fast_path:
             return None
-        from .pallas_probe import (
-            _HASH_UNROLL,
-            _READ_TILE,
-            choose_bin_tile4,
-            finalize_topk,
-            fused_probe_step,
-            pack_batch,
-        )
+        from .pallas_probe import _HASH_UNROLL, _READ_TILE, pack_batch
 
         R = hashes.shape[0]
         rpad = (-R) % _READ_TILE
@@ -182,32 +181,47 @@ class DeviceHIXF:
         if rpad or hpad:
             hashes = np.pad(hashes, ((0, rpad), (0, hpad)))
             mask = np.pad(mask, ((0, rpad), (0, hpad)))
+        return self.topk_async_packed(pack_batch(hashes, mask), R,
+                                      thresholds, k)
+
+    def topk_async_packed(self, batch: np.ndarray, n_reads: int,
+                          thresholds, k: int = 16):
+        """Like topk_async but takes the already-packed
+        [Rpad, 3*Hpad] uint32 batch (pack_batch / pack_hash_lists) —
+        avoids every [R, H] uint64 intermediate on the host."""
+        from .pallas_probe import (
+            choose_bin_tile4,
+            finalize_topk,
+            fused_probe_step,
+        )
+
         dixf = self.ixfs[0]
         run_users_dev = getattr(dixf, "_run_users_dev", None)
         if run_users_dev is None:
             run_users_dev = jnp.asarray(dixf.run_users.astype(np.int32))
             dixf._run_users_dev = run_users_dev
-        thr_dev = jnp.asarray(
-            np.pad(np.asarray(thresholds, dtype=np.int32), (0, rpad))
-        )
+        Rp = batch.shape[0]
+        thr = np.zeros(Rp, dtype=np.int32)
+        thr[: len(thresholds)] = np.asarray(thresholds, dtype=np.int32)
         sums_dev = fused_probe_step(
             dixf.fp,
-            jnp.asarray(pack_batch(hashes, mask)),
-            self._all_active(hashes.shape[0]),
+            jnp.asarray(batch),
+            self._all_active(Rp),
             dixf.run_onehot,
             dixf.seed_hi,
             dixf.seed_lo,
             dixf.bl_u32,
             bin_tile4=choose_bin_tile4(*dixf.fp.shape),
         )
-        packed_dev = finalize_topk(sums_dev, thr_dev, run_users_dev, k)
+        packed_dev = finalize_topk(sums_dev, jnp.asarray(thr),
+                                   run_users_dev, k)
         try:  # overlap the device->host copy with later dispatches
             packed_dev.copy_to_host_async()
         except Exception:
             pass
 
         def collect():
-            packed = np.asarray(packed_dev)[:R]
+            packed = np.asarray(packed_dev)[:n_reads]
             return packed[:, :k], packed[:, k:]
 
         return collect

@@ -47,24 +47,41 @@ _READ_TILE = 16
 _HASH_UNROLL = 4
 
 
-def _kernel(pos_ref, fpr_ref, fp_ref, out_ref):
+_LOW7 = 0x7F7F7F7F
+# 0x80808080 as int32
+_SIGN = -2139062144
+# flush the packed byte counters every 63 bodies (252 hashes < 256)
+_FLUSH_BODIES = 63
+
+
+def _kernel(pos_ref, fpr_ref, cnt_ref, fp_ref, out_ref):
     """One (bin_tile, read_tile) grid cell.
 
     pos_ref: int32 [RT, 1, H*3]  (SMEM) probe rows per read/hash, flat
                                  (SMEM pads the last dim to 128 lanes, so
                                  a trailing dim of 3 would waste 43x)
     fpr_ref: int32 [RT, 1, H]    (SMEM) fingerprint replicated to 4 bytes
+    cnt_ref: int32 [RT, 1, 1]    (SMEM) per-read body count ceil(valid/U)
     fp_ref:  int32 [S+1, BT4]    (VMEM) packed fingerprint block
     out_ref: int32 [RT, 4, BT4]  (VMEM) per-byte-lane counts per read
+
+    Inner loop cost per hash: 3 dynamic row loads + 4 XOR + 5-op exact
+    SWAR per-byte zero test + shift/accumulate, all on the packed int32
+    lanes.  The SWAR test ((x & 0x7F7F..) + 0x7F7F.. | x) has no
+    cross-byte carries (each masked byte <= 0x7F, sum <= 0xFE), so — unlike
+    the classic (x-1)&~x trick — it is per-byte EXACT, which host/device
+    output parity requires.  Hits accumulate as packed bytes and flush to
+    int32 accumulators every 252 hashes.  Per-read dynamic trip counts
+    skip the padded hash tail entirely.
     """
     RT = pos_ref.shape[0]
-    H = fpr_ref.shape[2]
     BT4 = out_ref.shape[2]
     U = _HASH_UNROLL
 
     def read_body(r, _):
-        def hash_body(hu, accs):
-            a0, a1, a2, a3 = accs
+        nb = cnt_ref[r, 0, 0]
+
+        def hash_body(hu, packed):
             for u in range(U):
                 h = hu * U + u
                 p0 = pos_ref[r, 0, 3 * h]
@@ -72,15 +89,30 @@ def _kernel(pos_ref, fpr_ref, fp_ref, out_ref):
                 p2 = pos_ref[r, 0, 3 * h + 2]
                 f4 = fpr_ref[r, 0, h]
                 x = fp_ref[p0, :] ^ fp_ref[p1, :] ^ fp_ref[p2, :] ^ f4
-                a0 = a0 + jnp.where((x & _B0) == 0, 1, 0)
-                a1 = a1 + jnp.where((x & _B1) == 0, 1, 0)
-                a2 = a2 + jnp.where((x & _B2) == 0, 1, 0)
-                a3 = a3 + jnp.where((x & _B3) == 0, 1, 0)
+                nz = ((x & _LOW7) + _LOW7) | x  # byte sign bit: byte != 0
+                hits = jax.lax.shift_right_logical(
+                    (~nz) & _SIGN, 7
+                )  # 0x01 per zero byte
+                packed = packed + hits
+            return packed
+
+        def chunk_body(ci, accs):
+            a0, a1, a2, a3 = accs
+            lo = ci * _FLUSH_BODIES
+            hi = jnp.minimum(nb, lo + _FLUSH_BODIES)
+            packed = jax.lax.fori_loop(
+                lo, hi, hash_body, jnp.zeros((BT4,), jnp.int32)
+            )
+            a0 = a0 + (packed & _B0)
+            a1 = a1 + (jax.lax.shift_right_logical(packed, 8) & _B0)
+            a2 = a2 + (jax.lax.shift_right_logical(packed, 16) & _B0)
+            a3 = a3 + jax.lax.shift_right_logical(packed, 24)
             return (a0, a1, a2, a3)
 
         zero = jnp.zeros((BT4,), jnp.int32)
+        nc = (nb + _FLUSH_BODIES - 1) // _FLUSH_BODIES
         a0, a1, a2, a3 = jax.lax.fori_loop(
-            0, H // U, hash_body, (zero, zero, zero, zero)
+            0, nc, chunk_body, (zero, zero, zero, zero)
         )
         out_ref[r, 0, :] = a0
         out_ref[r, 1, :] = a1
@@ -92,7 +124,7 @@ def _kernel(pos_ref, fpr_ref, fp_ref, out_ref):
 
 
 @functools.partial(jax.jit, static_argnames=("bin_tile4", "interpret"))
-def _probe_call(fp_packed, pos, fpr4, bin_tile4, interpret):
+def _probe_call(fp_packed, pos, fpr4, bodies, bin_tile4, interpret):
     R, _, H3 = pos.shape
     H = H3 // 3
     S1, B4 = fp_packed.shape
@@ -106,6 +138,8 @@ def _probe_call(fp_packed, pos, fpr4, bin_tile4, interpret):
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((RT, 1, H), lambda j, r: (r, 0, 0),
                          memory_space=pltpu.SMEM),
+            pl.BlockSpec((RT, 1, 1), lambda j, r: (r, 0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((S1, bin_tile4), lambda j, r: (0, j),
                          memory_space=pltpu.VMEM),
         ],
@@ -113,23 +147,52 @@ def _probe_call(fp_packed, pos, fpr4, bin_tile4, interpret):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((R, 4, B4), jnp.int32),
         interpret=interpret,
-    )(pos, fpr4, fp_packed)
+    )(pos, fpr4, bodies, fp_packed)
     # de-interleave: bin 4w+j lives at out[:, j, w]
     return jnp.moveaxis(out, 1, 2).reshape(R, 4 * B4)
+
+
+def _body_counts(mask) -> "jnp.ndarray":
+    """ceil(valid_prefix_len / U) loop bodies per read.  Uses the LAST
+    true position (not the sum) so interior-false masks stay correct —
+    those slots are sentinel-probed and contribute nothing."""
+    H = mask.shape[1]
+    any_valid = mask.any(axis=1)
+    last = H - jnp.argmax(mask[:, ::-1], axis=1)
+    valid_len = jnp.where(any_valid, last, 0)
+    bodies = (valid_len + _HASH_UNROLL - 1) // _HASH_UNROLL
+    return bodies.astype(jnp.int32)[:, None, None]
 
 
 def pack_batch(hashes: np.ndarray, mask: np.ndarray) -> np.ndarray:
     """Combine hash halves + validity mask into ONE uint32 array so a
     batch costs a single host->device transfer (each synchronous upload
     pays a full tunnel round-trip on remote-attached TPUs)."""
-    return np.concatenate(
-        [
-            (hashes >> np.uint64(32)).astype(np.uint32),
-            (hashes & np.uint64(0xFFFFFFFF)).astype(np.uint32),
-            mask.astype(np.uint32),
-        ],
-        axis=1,
-    )
+    R, H = hashes.shape
+    out = np.empty((R, 3 * H), dtype=np.uint32)
+    lo_hi = np.ascontiguousarray(hashes).view(np.uint32).reshape(R, H, 2)
+    out[:, :H] = lo_hi[:, :, 1]  # little-endian host: word 1 = high half
+    out[:, H : 2 * H] = lo_hi[:, :, 0]
+    out[:, 2 * H :] = mask
+    return out
+
+
+def pack_hash_lists(hash_lists, Hpad: int, read_tile: int = _READ_TILE
+                    ) -> np.ndarray:
+    """Build the packed [Rpad, 3*Hpad] uint32 batch directly from ragged
+    per-read hash arrays — one pass, no [R, H] uint64 intermediate (the
+    2-core host was spending more time concatenating than the TPU spends
+    probing)."""
+    R = len(hash_lists)
+    Rp = R + ((-R) % read_tile)
+    out = np.zeros((Rp, 3 * Hpad), dtype=np.uint32)
+    for r, h in enumerate(hash_lists):
+        n = h.shape[0]
+        lo_hi = h.view(np.uint32).reshape(n, 2)  # little-endian: [lo, hi]
+        out[r, :n] = lo_hi[:, 1]
+        out[r, Hpad : Hpad + n] = lo_hi[:, 0]
+        out[r, 2 * Hpad : 2 * Hpad + n] = 1
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("bin_tile4", "interpret"))
@@ -166,7 +229,8 @@ def fused_probe_step(
     f4 = jnp.where(mask, f4, jnp.uint32(0x01010101))
     pos_flat = pos.reshape(R, 1, H * 3)
     f4i = jax.lax.bitcast_convert_type(f4, jnp.int32)[:, None, :]
-    counts = _probe_call(fp_packed, pos_flat, f4i, bin_tile4, interpret)
+    counts = _probe_call(fp_packed, pos_flat, f4i, _body_counts(mask),
+                         bin_tile4, interpret)
     return jnp.dot(
         counts.astype(jnp.float32), onehot,
         preferred_element_type=jnp.float32,
@@ -254,5 +318,6 @@ def probe_counts_pallas(
     f = np.where(mask, fprints.astype(np.uint32), 1)
     f4 = (f * np.uint32(0x01010101)).astype(np.uint32).view(np.int32)
     out = _probe_call(fp_packed, jnp.asarray(pos_flat),
-                      jnp.asarray(f4[:, None, :]), bt4, interpret)
+                      jnp.asarray(f4[:, None, :]),
+                      _body_counts(jnp.asarray(mask)), bt4, interpret)
     return out[:R] if rpad else out

@@ -191,14 +191,16 @@ def _device_dispatch(device_hixf, hash_lists, thresholds):
     H = max(1, max((h.shape[0] for h in hash_lists), default=1))
     # bucket H to limit recompilation
     Hpad = 1 << (H - 1).bit_length()
+    if getattr(device_hixf, "flat_fast_path", False):
+        from ..device.pallas_probe import pack_hash_lists
+
+        batch = pack_hash_lists(hash_lists, Hpad)
+        return "topk", device_hixf.topk_async_packed(batch, R, thresholds)
     hashes = np.zeros((R, Hpad), dtype=np.uint64)
     mask = np.zeros((R, Hpad), dtype=bool)
     for r, h in enumerate(hash_lists):
         hashes[r, : h.shape[0]] = h
         mask[r, : h.shape[0]] = True
-    collect = device_hixf.topk_async(hashes, mask, thresholds)
-    if collect is not None:
-        return "topk", collect
     return "dense", device_hixf.counts_async(hashes, mask, thresholds)
 
 
