@@ -106,11 +106,13 @@ def main():
         hashes[r, : h.shape[0]] = h
         mask[r, : h.shape[0]] = True
 
-    # single-thread host oracle baseline (numpy recursion, same semantics)
+    # single-thread host oracle baseline: the reference worker's full
+    # per-read job (extraction + threshold + query, taxor_search.cpp:196)
     sub = min(32, R)
     t0 = time.perf_counter()
     for r in range(sub):
-        index.hixf.membership(hash_lists[r], int(thresholds[r]))
+        hl = search_hashes([seqs[r]], scheme)[0]
+        index.hixf.membership(hl, int(thresholds[r]))
     t_oracle = time.perf_counter() - t0
     oracle_reads_per_s = sub / t_oracle
     baseline_proxy = 32 * oracle_reads_per_s
@@ -123,25 +125,31 @@ def main():
     def device_phase():
         import jax
 
-        from taxor_tpu.device.pallas_probe import pack_hash_lists
+        from taxor_tpu.hash import device_syncmer as dsync
+        from taxor_tpu.search.pipeline import _pairs_from_e2e
 
         dhixf = DeviceHIXF(index.hixf)
-        use_topk = dhixf.flat_fast_path
+        assert dhixf.flat_fast_path and dsync.supports(scheme)
+        dfs_rank = index.hixf.user_bin_dfs_order()
+        L = dsync.pad_len_bucket(max(len(s) for s in seqs))
 
         def dispatch():
-            # per-pass packing is part of the measured dispatch cost, as
-            # in the production pipeline
-            if use_topk:
-                batch = pack_hash_lists(hash_lists, Hpad)
-                return dhixf.topk_async_packed(batch, R, thresholds)
-            return dhixf.counts_async(hashes, mask, thresholds)
+            # 2-bit packing is part of the measured per-pass cost, as in
+            # the production pipeline (prepare step)
+            packed, lengths = dsync.pack_reads(seqs, L)
+            return dhixf.e2e_async(packed, lengths, scheme)
 
-        log("bench: compiling device step ...")
+        def drain(collect):
+            vals, users, counts = collect()
+            return _pairs_from_e2e(vals, users, counts, seqs, index,
+                                   scheme, thresholder, dfs_rank)
+
+        log("bench: compiling fused e2e step ...")
         t0 = time.perf_counter()
-        first = dispatch()()
+        first_pairs, _ = drain(dispatch())
         log(f"bench: device compile+warmup {time.perf_counter()-t0:.1f}s")
-        # pipelined throughput: three batches in flight (the search
-        # pipeline's dispatch-ahead pattern, one deeper)
+        # pipelined end-to-end throughput: raw reads -> classified pairs,
+        # three batches in flight (the pipeline's dispatch-ahead pattern)
         n_pass = 10
         from collections import deque
 
@@ -150,24 +158,14 @@ def main():
         for _ in range(n_pass):
             q.append(dispatch())
             if len(q) > 3:
-                q.popleft()()
+                drain(q.popleft())
         while q:
-            q.popleft()()
+            drain(q.popleft())
         t_dev = (time.perf_counter() - t0) / n_pass
-        # full pipeline: hash extraction + device, overlapped
-        t0 = time.perf_counter()
-        pending = dispatch()
-        search_hashes(seqs, scheme)
-        pending()
-        t_full = time.perf_counter() - t0
-        if use_topk:
-            classified = float((first[0][:, 0] >= 0).mean())
-        else:
-            classified = float(first[1].any(axis=1).mean())
         device.update(
             t_device=t_dev,
-            t_full=t_full,
-            classified=classified,
+            t_full=t_dev,  # e2e: extraction IS on device
+            classified=float(np.mean([bool(p) for p in first_pairs])),
             backend=jax.default_backend(),
         )
 

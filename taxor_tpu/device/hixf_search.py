@@ -226,6 +226,57 @@ class DeviceHIXF:
 
         return collect
 
+    def e2e_async(self, packed_reads: np.ndarray, lengths: np.ndarray,
+                  scheme, k: int = 16):
+        """Whole-search dispatch from 2-bit packed reads (device/e2e.py):
+        extraction, dedup, probe and top-k all in one device graph.
+
+        packed_reads: uint32 [R, L/16] (hash/device_syncmer.pack_reads)
+        lengths:      int32 [R]
+        Returns a collector -> (vals [R,k], users [R,k], counts [R]).
+        Caller guarantees flat_fast_path and device_syncmer.supports()."""
+        from ..hash.device_syncmer import hash_cap
+        from .e2e import fused_e2e_step
+        from .pallas_probe import _READ_TILE, choose_bin_tile4
+
+        R = packed_reads.shape[0]
+        rpad = (-R) % _READ_TILE
+        if rpad:
+            packed_reads = np.pad(packed_reads, ((0, rpad), (0, 0)))
+            lengths = np.pad(lengths, (0, rpad))
+        dixf = self.ixfs[0]
+        run_users_dev = getattr(dixf, "_run_users_dev", None)
+        if run_users_dev is None:
+            run_users_dev = jnp.asarray(dixf.run_users.astype(np.int32))
+            dixf._run_users_dev = run_users_dev
+        L = packed_reads.shape[1] * 16
+        packed_dev = fused_e2e_step(
+            dixf.fp,
+            jnp.asarray(packed_reads),
+            jnp.asarray(lengths.astype(np.int32)),
+            dixf.run_onehot,
+            run_users_dev,
+            dixf.seed_hi,
+            dixf.seed_lo,
+            dixf.bl_u32,
+            k=scheme.kmer_size,
+            s=scheme.syncmer_size,
+            t=scheme.t_syncmer,
+            hcap=hash_cap(L),
+            topk=k,
+            bin_tile4=choose_bin_tile4(*dixf.fp.shape),
+        )
+        try:
+            packed_dev.copy_to_host_async()
+        except Exception:
+            pass
+
+        def collect():
+            packed = np.asarray(packed_dev)[:R]
+            return packed[:, :k], packed[:, k : 2 * k], packed[:, 2 * k]
+
+        return collect
+
     def counts_async(self, hashes, mask, thresholds):
         """Dispatch the batch and return a zero-arg collector.
 

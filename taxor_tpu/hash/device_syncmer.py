@@ -1,0 +1,245 @@
+"""Open canonical syncmer extraction ON DEVICE (TPU).
+
+The search path reads bases through dna4 traits (ambiguity -> A,
+src/main/taxor_search.cpp:181), so the scanner has NO N-resets — which
+makes the state machine mostly position-parallel:
+
+  - 2-bit rolling k-mer/s-mer values on both strands are ordinary
+    sliding-window polynomials -> computed for EVERY position with s (resp.
+    2k) shifted adds over the [R, L] base matrix (VPU-wide, no scan),
+  - only the window-minimum tracker is genuinely sequential: the
+    reference keeps a stateful minimum with hysteresis (leftmost min on
+    the first window; on evicting the tracked min, recompute as the
+    RIGHTMOST min; ties never displace the holder —
+    src/hashing/syncmer.cpp:109-146).  That tracker is not a pure
+    function of the current window, so it runs as a lax.scan over base
+    positions carrying only (qmin_val u32, qmin_pos i32) per read —
+    ~40 vector ops per step on [R]-wide lanes,
+  - emitted canonical k-mers hash via the bit-exact device wyhash64
+    (utils/u64jnp.py), then a 2-key lexicographic sort per read
+    deduplicates (the reference returns a hash SET,
+    syncmer.cpp:157-165) and compacts valid hashes to a prefix.
+
+Upload per read: ceil(L/16) uint32 packed bases (+1 length) — ~8x less
+than shipping extracted hashes, and the 2-core host no longer runs the
+scanner at all (it was the end-to-end bottleneck).
+
+Restrictions (callers fall back to the host scanner otherwise):
+s <= 15 (s-mer fits uint32), k <= 32, scaling == 1, dna4 search
+semantics.  Build-time counting keeps the host dna5 path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.u64jnp import wyhash64
+from .encode import encode_dna4
+
+U32 = jnp.uint32
+_UMAX32 = 0xFFFFFFFF
+
+# reads longer than this use the host scanner (segmentation on device
+# would break per-read dedup across segments)
+L_CAP = 8192
+BASES_PER_WORD = 16
+
+
+def supports(scheme) -> bool:
+    """Whether the device extractor covers this hash scheme."""
+    return (
+        scheme.use_syncmer
+        and scheme.scaling == 1
+        and 2 <= scheme.syncmer_size <= 15
+        and scheme.syncmer_size < scheme.kmer_size <= 32
+    )
+
+
+def pad_len_bucket(max_len: int) -> int:
+    """Power-of-two length bucket (>= 256) to bound recompilation."""
+    return max(256, 1 << (int(max_len) - 1).bit_length())
+
+
+def hash_cap(L: int) -> int:
+    """Static per-read hash capacity for length bucket L.  Open-syncmer
+    density is ~2/(k-s+1) (< 1/4 for every valid even-k/even-s config);
+    reads denser than this (adversarial) are detected via the device
+    hash count and fall back to the host oracle."""
+    return max(128, L // 4)
+
+
+def pack_reads(seqs: list[bytes], L: int):
+    """dna4-encode + 2-bit pack a read batch.
+
+    Returns (packed uint32 [R, L/16] with base i at bits 2*(i%16) of word
+    i//16, lengths int32 [R]).  Bases beyond a read's length are 0 (A) —
+    emissions there are masked on device by the length gate."""
+    R = len(seqs)
+    W = L // BASES_PER_WORD
+    codes = np.zeros((R, L), dtype=np.uint8)
+    lengths = np.empty(R, dtype=np.int32)
+    for r, s in enumerate(seqs):
+        c = encode_dna4(s[:L])
+        codes[r, : c.shape[0]] = c
+        lengths[r] = c.shape[0]
+    shifts = (2 * np.arange(BASES_PER_WORD, dtype=np.uint32))[None, None, :]
+    packed = (
+        codes.reshape(R, W, BASES_PER_WORD).astype(np.uint32) << shifts
+    ).sum(axis=2, dtype=np.uint32)
+    return packed, lengths
+
+
+def _unpack_codes(packed):
+    """uint32 [R, W] -> uint32 [R, W*16] base codes in {0..3}."""
+    R, W = packed.shape
+    shifts = (2 * jnp.arange(BASES_PER_WORD, dtype=jnp.uint32))[None, None, :]
+    codes = (packed[:, :, None] >> shifts) & jnp.uint32(3)
+    return codes.reshape(R, W * BASES_PER_WORD)
+
+
+def _rolling_smers(codes, s: int):
+    """Canonical s-mer value ending at each position (junk for i < s-1).
+
+    fwd[i] = sum_j codes[i-s+1+j] << 2(s-1-j);  rev = complement rolled
+    the other way (syncmer.cpp:97-104).  s <= 15 so values fit uint32."""
+    L = codes.shape[1]
+    fwd = jnp.zeros_like(codes)
+    rev = jnp.zeros_like(codes)
+    for j in range(s):
+        # base at offset j of the s-mer ending at i sits at i-(s-1)+j
+        shifted = jnp.roll(codes, s - 1 - j, axis=1)
+        fwd = fwd | (shifted << jnp.uint32(2 * (s - 1 - j)))
+        rev = rev | ((jnp.uint32(3) - shifted) << jnp.uint32(2 * j))
+    return jnp.minimum(fwd, rev)
+
+
+def _rolling_kmers(codes, k: int):
+    """Canonical k-mer (hi, lo) uint32 pairs ending at each position
+    (junk for i < k-1).  k <= 32 -> 2k bits across the pair."""
+    zeros = jnp.zeros_like(codes)
+    fhi, flo = zeros, zeros
+    rhi, rlo = zeros, zeros
+    for j in range(k):
+        shifted = jnp.roll(codes, k - 1 - j, axis=1)
+        comp = jnp.uint32(3) - shifted
+        bit = 2 * (k - 1 - j)
+        if bit < 32:
+            flo = flo | (shifted << jnp.uint32(bit))
+        if bit >= 30:  # straddles or sits in the high word
+            if bit >= 32:
+                fhi = fhi | (shifted << jnp.uint32(bit - 32))
+            else:
+                fhi = fhi | (shifted >> jnp.uint32(32 - bit))
+        rbit = 2 * j
+        if rbit < 32:
+            rlo = rlo | (comp << jnp.uint32(rbit))
+        if rbit >= 30:
+            if rbit >= 32:
+                rhi = rhi | (comp << jnp.uint32(rbit - 32))
+            else:
+                rhi = rhi | (comp >> jnp.uint32(32 - rbit))
+    # canonical = unsigned 64-bit min
+    f_less = (fhi < rhi) | ((fhi == rhi) & (flo < rlo))
+    chi = jnp.where(f_less, fhi, rhi)
+    clo = jnp.where(f_less, flo, rlo)
+    return chi, clo
+
+
+@functools.partial(jax.jit, static_argnames=("k", "s", "t"))
+def syncmer_emit(packed, lengths, k: int, s: int, t: int):
+    """Emission mask + canonical k-mer hash for every base position.
+
+    Returns (h_hi, h_lo uint32 [R, L], emit bool [R, L]) where emit[r, i]
+    marks an open-syncmer k-mer ending at base i.  Bit-equal to the host
+    scanner (hash/syncmer.py) under dna4 codes."""
+    w = k - s + 1
+    codes = _unpack_codes(packed)
+    R, L = codes.shape
+    ys = _rolling_smers(codes, s)  # [R, L] canonical smers (end-indexed)
+    khi, klo = _rolling_kmers(codes, k)
+    h_hi, h_lo = wyhash64(khi, klo)
+
+    ys_t = ys.T  # [L, R]: scan axis leading
+
+    # first full window: k-mer ends at i0 = k-1; ordered s-mers end at
+    # s-1 .. k-1.  Leftmost minimum, strict < (syncmer.cpp:120-126).
+    lmv = jnp.full((R,), _UMAX32, dtype=jnp.uint32)
+    lmj = jnp.zeros((R,), dtype=jnp.int32)
+    for j in range(w):
+        take = ys_t[s - 1 + j] < lmv
+        lmv = jnp.where(take, ys_t[s - 1 + j], lmv)
+        lmj = jnp.where(take, jnp.int32(j), lmj)
+    qmin_val0 = lmv
+    qmin_pos0 = lmj  # absolute smer start = (k-1)-k+1+j = j
+    emit0 = qmin_pos0 == jnp.int32(t - 1)  # i0-k+t = t-1
+
+    def step(carry, i):
+        qmin_val, qmin_pos = carry
+        # window of the k-mer ending at i: smers ending at i-w+1 .. i
+        win = jax.lax.dynamic_slice(ys_t, (i - w + 1, 0), (w, R))
+        ys_new = win[w - 1]
+        popped = qmin_pos == (i - k)  # the evicted smer held the min
+        # rightmost minimum, strict < scanning right-to-left
+        # (syncmer.cpp:128-136)
+        rmv = jnp.full((R,), _UMAX32, dtype=jnp.uint32)
+        rmj = jnp.zeros((R,), dtype=jnp.int32)
+        for j in range(w - 1, -1, -1):
+            take = win[j] < rmv
+            rmv = jnp.where(take, win[j], rmv)
+            rmj = jnp.where(take, jnp.int32(j), rmj)
+        newer = (~popped) & (ys_new < qmin_val)
+        qmin_val = jnp.where(popped, rmv,
+                             jnp.where(newer, ys_new, qmin_val))
+        qmin_pos = jnp.where(popped, i - k + 1 + rmj,
+                             jnp.where(newer, i - s + 1, qmin_pos))
+        emit_i = qmin_pos == (i - k + t)
+        return (qmin_val, qmin_pos), emit_i
+
+    if L > k:
+        (_, _), emits = jax.lax.scan(
+            step, (qmin_val0, qmin_pos0), jnp.arange(k, L, dtype=jnp.int32)
+        )  # emits [L-k, R]
+        emit = jnp.concatenate([emit0[None, :], emits], axis=0).T
+    else:
+        emit = emit0[:, None]
+    # align: emit[:, j] corresponds to k-mer ending at base k-1+j
+    pad = jnp.zeros((R, k - 1), dtype=bool)
+    emit = jnp.concatenate([pad, emit], axis=1)[:, :L]
+    # gate by read length (bases beyond the read are A-padding)
+    emit = emit & (jnp.arange(L, dtype=jnp.int32)[None, :]
+                   < lengths[:, None])
+    return h_hi, h_lo, emit
+
+
+@functools.partial(jax.jit, static_argnames=("hcap",))
+def dedup_sorted(h_hi, h_lo, emit, hcap: int):
+    """Sort each read's emitted hashes, mask duplicates, compact to a
+    [R, hcap] prefix.  Returns (hi, lo, valid, n_unique)."""
+    sent = jnp.uint32(_UMAX32)
+    shi = jnp.where(emit, h_hi, sent)
+    slo = jnp.where(emit, h_lo, sent)
+    shi, slo = jax.lax.sort((shi, slo), dimension=1, num_keys=2)
+    prev_hi = jnp.concatenate([~shi[:, :1], shi[:, :-1]], axis=1)
+    prev_lo = jnp.concatenate([~slo[:, :1], slo[:, :-1]], axis=1)
+    is_sent = (shi == sent) & (slo == sent)
+    uniq = ((shi != prev_hi) | (slo != prev_lo)) & ~is_sent
+    # sentinel collision guard: a real hash equal to UMAX64 is dropped by
+    # the mask above; the reference cannot distinguish it either (it
+    # would hash-collide with the empty sentinel probability ~2^-64) —
+    # accepted divergence, documented in DIVERGENCES.md.
+    n_unique = uniq.sum(axis=1, dtype=jnp.int32)
+    # duplicates sit between uniques after the sort; compact uniques to a
+    # prefix with a stable sort on the inverted mask (scatter is slow on
+    # TPU, a second sort is not)
+    key = (~uniq).astype(jnp.uint8)
+    _, chi, clo = jax.lax.sort((key, shi, slo), dimension=1, num_keys=1,
+                               is_stable=True)
+    out_hi = chi[:, :hcap]
+    out_lo = clo[:, :hcap]
+    valid = (jnp.arange(hcap, dtype=jnp.int32)[None, :]
+             < jnp.minimum(n_unique, hcap)[:, None])
+    return out_hi, out_lo, valid, n_unique

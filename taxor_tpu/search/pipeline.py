@@ -98,12 +98,33 @@ def search_single(
     ub2sp = index.user_bin_to_species()
     dfs_rank = index.hixf.user_bin_dfs_order()
 
+    from ..hash import device_syncmer as dsync
+
+    use_e2e = (
+        config.engine == "device"
+        and device_hixf is not None
+        and getattr(device_hixf, "flat_fast_path", False)
+        and dsync.supports(scheme)
+    )
+
     def prepare(chunk):
-        """Host-side work for one chunk: hash extraction + thresholds.
-        Runs in a prefetch thread so it overlaps the device compute of
-        the previous chunk (the reference overlaps via std::async,
-        taxor_search.cpp:162-180)."""
+        """Host-side work for one chunk.  e2e mode: just 2-bit pack the
+        reads (extraction happens on device); otherwise extract hashes +
+        thresholds on host.  Runs in a prefetch thread so it overlaps
+        the device compute of the previous chunk (the reference overlaps
+        via std::async, taxor_search.cpp:162-180)."""
         seqs = [rec.seq for rec in chunk]
+        if use_e2e and max((len(s) for s in seqs), default=0) <= dsync.L_CAP:
+            L = dsync.pad_len_bucket(max((len(s) for s in seqs),
+                                         default=1))
+            packed, lengths = dsync.pack_reads(seqs, L)
+            if len(seqs) < config.batch_size:  # pad the final chunk so
+                # the (R, L) shape bucket — and the compiled graph — stay
+                # identical across chunks
+                pad = config.batch_size - len(seqs)
+                packed = np.pad(packed, ((0, pad), (0, 0)))
+                lengths = np.pad(lengths, (0, pad))
+            return ("e2e", chunk, seqs, packed, lengths)
         hash_lists = search_hashes(seqs, scheme)
         hash_counts = [h.shape[0] for h in hash_lists]
         thresholds = np.array(
@@ -119,7 +140,7 @@ def search_single(
             ],
             dtype=np.int64,
         )
-        return chunk, hash_lists, hash_counts, thresholds
+        return ("hash", chunk, hash_lists, hash_counts, thresholds)
 
     def prefetched():
         from concurrent.futures import ThreadPoolExecutor
@@ -145,12 +166,13 @@ def search_single(
     reads_io = 0.0
     compute = 0.0
     t_io = time.perf_counter()
-    pending = None  # (chunk, hash_counts, thresholds, collect)
-    for chunk, hash_lists, hash_counts, thresholds in prefetched():
+    pending = None
+    for prepared in prefetched():
         reads_io += time.perf_counter() - t_io
         t0 = time.perf_counter()
 
         if config.engine == "host":
+            _, chunk, hash_lists, hash_counts, thresholds = prepared
             all_pairs = [
                 index.hixf.membership(h, int(t))
                 for h, t in zip(hash_lists, thresholds)
@@ -159,21 +181,39 @@ def search_single(
         else:
             # dispatch this batch, then drain the previous one — hides the
             # device round-trip latency behind the next dispatch
-            collect = _device_dispatch(device_hixf, hash_lists, thresholds)
+            if prepared[0] == "e2e":
+                _, chunk, seqs, packed, lengths = prepared
+                collect = device_hixf.e2e_async(packed, lengths, scheme)
+                pending_new = ("e2e", chunk, seqs, collect)
+            else:
+                _, chunk, hash_lists, hash_counts, thresholds = prepared
+                collect = _device_dispatch(device_hixf, hash_lists,
+                                           thresholds)
+                pending_new = ("hash", chunk, hash_counts, thresholds,
+                               collect, hash_lists)
             if pending is not None:
-                _drain(pending, index, dfs_rank, write_rows)
-            pending = (chunk, hash_counts, thresholds, collect, hash_lists)
+                _drain(pending, index, scheme, thresholder, dfs_rank,
+                       write_rows)
+            pending = pending_new
         compute += time.perf_counter() - t0
         t_io = time.perf_counter()
     if pending is not None:
         t0 = time.perf_counter()
-        _drain(pending, index, dfs_rank, write_rows)
+        _drain(pending, index, scheme, thresholder, dfs_rank, write_rows)
         compute += time.perf_counter() - t0
     return {"reads_io": reads_io, "compute": compute}
 
 
-def _drain(pending, index, dfs_rank, write_rows):
-    chunk, hash_counts, thresholds, (kind, collect), hash_lists = pending
+def _drain(pending, index, scheme, thresholder, dfs_rank, write_rows):
+    if pending[0] == "e2e":
+        _, chunk, seqs, collect = pending
+        vals, users, counts = collect()
+        all_pairs, hash_counts = _pairs_from_e2e(
+            vals, users, counts, seqs, index, scheme, thresholder, dfs_rank
+        )
+        write_rows(chunk, hash_counts, all_pairs)
+        return
+    _, chunk, hash_counts, thresholds, (kind, collect), hash_lists = pending
     if kind == "topk":
         vals, users = collect()
         all_pairs = _pairs_from_topk(
@@ -202,6 +242,69 @@ def _device_dispatch(device_hixf, hash_lists, thresholds):
         hashes[r, : h.shape[0]] = h
         mask[r, : h.shape[0]] = True
     return "dense", device_hixf.counts_async(hashes, mask, thresholds)
+
+
+def _pairs_from_e2e(vals, users, counts, seqs, index, scheme, thresholder,
+                    dfs_rank):
+    """Decode the fused end-to-end device result (device/e2e.py).
+
+    Device returns top-k RAW run sums; this applies the per-read
+    threshold (exact host float64 — no device float math in the parity
+    path) and detects the two truncation cases that need the host
+    oracle: unique hashes overflowing the device hash capacity, and all
+    k candidate slots surviving the threshold + 0.8*max pre-filter."""
+    from ..hash.device_syncmer import hash_cap, pad_len_bucket
+    from ..hash.schemes import search_hashes
+
+    k_sch = scheme.kmer_size
+    kk = vals.shape[1]
+    hcap = hash_cap(pad_len_bucket(max((len(s) for s in seqs), default=1)))
+    pairs_per_read = []
+    hash_counts = []
+
+    def host_fallback(seq):
+        hl = search_hashes([seq], scheme)[0]
+        hc = hl.shape[0]
+        thr = _read_threshold(thresholder, hc, len(seq), k_sch)
+        return index.hixf.membership(hl, int(thr)), hc
+
+    for r, seq in enumerate(seqs):
+        c = int(counts[r])
+        if c > hcap:  # device hash buffer overflowed (adversarial reads)
+            pairs, hc = host_fallback(seq)
+            pairs_per_read.append(pairs)
+            hash_counts.append(hc)
+            continue
+        thr = _read_threshold(thresholder, c, len(seq), k_sch)
+        n = 0
+        while n < kk and users[r, n] >= 0 and vals[r, n] >= thr:
+            n += 1
+        if n == 0:
+            pairs_per_read.append([])
+            hash_counts.append(c)
+            continue
+        if n == kk and float(vals[r, kk - 1]) >= float(vals[r, 0]) * 0.8:
+            pairs, hc = host_fallback(seq)  # candidates may be truncated
+            pairs_per_read.append(pairs)
+            hash_counts.append(hc)
+            continue
+        u = users[r, :n]
+        order = np.argsort(dfs_rank[u], kind="stable")
+        pairs_per_read.append(
+            [(int(u[i]), int(vals[r, i])) for i in order]
+        )
+        hash_counts.append(c)
+    return pairs_per_read, hash_counts
+
+
+def _read_threshold(thresholder, hash_count, seq_len, kmer_size):
+    """The per-read threshold exactly as the host prepare computes it."""
+    ratio = (
+        float(hash_count) / (float(seq_len) - float(kmer_size) + 1.0)
+        if seq_len != kmer_size - 1
+        else 0.0
+    )
+    return int(thresholder.get(hash_count, ratio))
 
 
 def _pairs_from_topk(vals, users, thresholds, hash_lists, index, dfs_rank):

@@ -138,6 +138,43 @@ def mix_split(khi, klo, seed_hi, seed_lo):
     return murmur64(hi, lo)
 
 
+def umul64_full(ahi, alo, bhi, blo):
+    """Full 128-bit product of two (hi, lo) uint32-pair uint64s.
+
+    Returns ((r3, r2), (r1, r0)): the high and low 64-bit halves, each as
+    a (hi, lo) uint32 pair."""
+    a_hi, a_lo = umul32_full(alo, blo)  # xl*yl
+    b_hi, b_lo = umul32_full(alo, bhi)  # xl*yh  << 32
+    c_hi, c_lo = umul32_full(ahi, blo)  # xh*yl  << 32
+    d_hi, d_lo = umul32_full(ahi, bhi)  # xh*yh  << 64
+    s1 = a_hi + b_lo
+    carry1 = (s1 < a_hi).astype(U32)
+    s2 = s1 + c_lo
+    carry2 = (s2 < s1).astype(U32)
+    # bits 64..95
+    u1 = b_hi + c_hi
+    carry_a = (u1 < b_hi).astype(U32)
+    u2 = u1 + d_lo
+    carry_b = (u2 < u1).astype(U32)
+    u3 = u2 + carry1 + carry2
+    carry_c = (u3 < u2).astype(U32)
+    r3 = d_hi + carry_a + carry_b + carry_c
+    return (r3, u3), (s2, a_lo)
+
+
+_WY_HI = jnp.uint32(0x9E3779B9)
+_WY_LO = jnp.uint32(0x7F4A7C15)
+
+
+def wyhash64(khi, klo):
+    """ankerl unordered_dense wyhash of a uint64 key as (hi, lo) pairs:
+    hi64(x*C) ^ lo64(x*C) with C the golden-ratio constant — bit-exact
+    against utils/u64np.wyhash64 (the canonical k-mer hash,
+    src/hashing/syncmer.cpp:73-77)."""
+    (r3, r2), (r1, r0) = umul64_full(khi, klo, _WY_HI, _WY_LO)
+    return r3 ^ r1, r2 ^ r0
+
+
 def reduce32(r, n):
     """(uint32(r) * n) >> 32 with n a (traced or static) uint32 scalar."""
     hi, _ = umul32_full(r, n)

@@ -1,0 +1,109 @@
+"""Device syncmer extractor vs the (parity-tested) host scanner.
+
+The search path uses dna4 codes (N -> A, no resets,
+src/main/taxor_search.cpp:181); the device extractor must reproduce the
+host scanner's emitted hash SET bit-for-bit on that alphabet."""
+
+import numpy as np
+import pytest
+
+from taxor_tpu.hash.device_syncmer import (
+    dedup_sorted,
+    hash_cap,
+    pack_reads,
+    pad_len_bucket,
+    supports,
+    syncmer_emit,
+)
+from taxor_tpu.hash.schemes import HashScheme
+from taxor_tpu.hash.syncmer import syncmer_hashes_batch
+
+BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
+
+
+def _random_reads(rng, n, lo, hi, with_n=False):
+    reads = []
+    for _ in range(n):
+        ln = int(rng.integers(lo, hi + 1))
+        arr = BASES[rng.integers(0, 4, ln)]
+        if with_n and ln > 10:
+            pos = rng.integers(0, ln, max(1, ln // 50))
+            arr = arr.copy()
+            arr[pos] = ord("N")
+        reads.append(arr.tobytes())
+    return reads
+
+
+def _host_sets(reads, k, s, t):
+    from taxor_tpu.hash.encode import encode_dna4
+
+    L = max(len(r) for r in reads)
+    codes = np.full((len(reads), L), 4, dtype=np.uint8)
+    lengths = np.zeros(len(reads), dtype=np.int64)
+    for i, r in enumerate(reads):
+        c = encode_dna4(r)
+        codes[i, : c.shape[0]] = c
+        lengths[i] = c.shape[0]
+    h, v = syncmer_hashes_batch(codes, lengths, k, s, t)
+    return [np.unique(h[i][v[i]]) for i in range(len(reads))]
+
+
+def _device_sets(reads, k, s, t):
+    import jax.numpy as jnp
+
+    L = pad_len_bucket(max(len(r) for r in reads))
+    packed, lengths = pack_reads(reads, L)
+    h_hi, h_lo, emit = syncmer_emit(
+        jnp.asarray(packed), jnp.asarray(lengths), k, s, t
+    )
+    hcap = hash_cap(L)
+    hi, lo, valid, n_unique = dedup_sorted(h_hi, h_lo, emit, hcap)
+    hi, lo = np.asarray(hi), np.asarray(lo)
+    valid, n_unique = np.asarray(valid), np.asarray(n_unique)
+    out = []
+    for r in range(len(reads)):
+        assert n_unique[r] <= hcap
+        h = (hi[r, valid[r]].astype(np.uint64) << np.uint64(32)) | \
+            lo[r, valid[r]].astype(np.uint64)
+        assert h.shape[0] == n_unique[r]
+        out.append(h)
+    return out
+
+
+@pytest.mark.parametrize("k,s", [(16, 8), (22, 12), (30, 14), (20, 4)])
+def test_matches_host_scanner(k, s):
+    rng = np.random.default_rng(k * 100 + s)
+    t = (k - s + 1) // 2
+    reads = _random_reads(rng, 24, k - 1, 700)  # incl. too-short reads
+    host = _host_sets(reads, k, s, t)
+    dev = _device_sets(reads, k, s, t)
+    for r, (a, b) in enumerate(zip(host, dev)):
+        assert a.shape == b.shape, f"read {r}: {a.shape} vs {b.shape}"
+        assert (a == b).all(), f"read {r}"
+
+
+def test_n_bases_become_a():
+    rng = np.random.default_rng(5)
+    k, s = 16, 8
+    t = (k - s + 1) // 2
+    reads = _random_reads(rng, 8, 100, 400, with_n=True)
+    host = _host_sets(reads, k, s, t)  # dna4: N -> A before scanning
+    dev = _device_sets(reads, k, s, t)
+    for a, b in zip(host, dev):
+        assert (a == b).all()
+
+
+def test_repeat_heavy_read_dedups():
+    k, s = 16, 8
+    t = (k - s + 1) // 2
+    read = (b"ACGTACGGTTAACCGG" * 40)  # heavy duplication
+    host = _host_sets([read], k, s, t)
+    dev = _device_sets([read], k, s, t)
+    assert (host[0] == dev[0]).all()
+
+
+def test_supports_gating():
+    assert supports(HashScheme.make(22, 12, None, True))
+    assert not supports(HashScheme.make(22, 12, None, False))  # kmer path
+    assert not supports(HashScheme.make(22, 16, None, True))  # s too big
+    assert not supports(HashScheme.make(22, 12, None, True, scaling=2))
