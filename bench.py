@@ -36,7 +36,7 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def build_problem(n_species=256, genome_len=20000, n_reads=2048,
+def build_problem(n_species=256, genome_len=20000, n_reads=8192,
                   read_len=2000, error_rate=0.02, seed=0):
     import os
     import tempfile
@@ -140,28 +140,36 @@ def main():
             return dhixf.e2e_async(packed, lengths, scheme)
 
         def drain(collect):
-            vals, users, counts = collect()
+            vals, users, counts, hcap = collect()
             return _pairs_from_e2e(vals, users, counts, seqs, index,
-                                   scheme, thresholder, dfs_rank)
+                                   scheme, thresholder, dfs_rank, hcap)
 
         log("bench: compiling fused e2e step ...")
         t0 = time.perf_counter()
         first_pairs, _ = drain(dispatch())
         log(f"bench: device compile+warmup {time.perf_counter()-t0:.1f}s")
         # pipelined end-to-end throughput: raw reads -> classified pairs,
-        # three batches in flight (the pipeline's dispatch-ahead pattern)
-        n_pass = 10
+        # three batches in flight (the pipeline's dispatch-ahead pattern).
+        # The tunneled-TPU link has multi-second latency spikes, so the
+        # reported number is the MEDIAN per-pass time over 20 passes.
+        n_pass = 20
         from collections import deque
 
-        t0 = time.perf_counter()
+        marks = [time.perf_counter()]
         q = deque()
         for _ in range(n_pass):
             q.append(dispatch())
             if len(q) > 3:
                 drain(q.popleft())
+                marks.append(time.perf_counter())
         while q:
             drain(q.popleft())
-        t_dev = (time.perf_counter() - t0) / n_pass
+            marks.append(time.perf_counter())
+        deltas = np.diff(marks)
+        # drop the pipeline-fill offset: first delta covers 4 dispatches
+        t_dev = float(np.median(deltas[1:]))
+        log("bench: per-pass ms: "
+            + " ".join(f"{d*1e3:.0f}" for d in deltas))
         device.update(
             t_device=t_dev,
             t_full=t_dev,  # e2e: extraction IS on device

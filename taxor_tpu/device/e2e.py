@@ -35,7 +35,7 @@ from .pallas_probe import _HASH_UNROLL, _body_counts, _probe_call
 )
 def fused_e2e_step(
     fp_packed,  # int32 [S+1, B4] (prepare_fingerprints)
-    packed_reads,  # uint32 [R, L/16] (pack_reads)
+    raw_reads,  # uint8 [R, L] ASCII (pack_reads)
     lengths,  # int32 [R]
     onehot,  # float32 [4*B4, n_runs]
     run_users,  # int32 [n_runs], -1 for merged runs
@@ -55,8 +55,8 @@ def fused_e2e_step(
     [:, :topk] descending raw run sums, [:, topk:2*topk] their user bins
     (-1 for merged/padding), [:, -1] the per-read unique hash count."""
     assert hcap % _HASH_UNROLL == 0
-    R = packed_reads.shape[0]
-    h_hi, h_lo, emit = syncmer_emit(packed_reads, lengths, k, s, t)
+    R = raw_reads.shape[0]
+    h_hi, h_lo, emit = syncmer_emit(raw_reads, lengths, k, s, t)
     hi, lo, valid, n_unique = dedup_sorted(h_hi, h_lo, emit, hcap)
     pos, f4 = probe_positions_and_fprint4(hi, lo, seed_hi, seed_lo,
                                           block_length)

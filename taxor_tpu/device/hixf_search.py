@@ -226,12 +226,12 @@ class DeviceHIXF:
 
         return collect
 
-    def e2e_async(self, packed_reads: np.ndarray, lengths: np.ndarray,
+    def e2e_async(self, raw_reads: np.ndarray, lengths: np.ndarray,
                   scheme, k: int = 16):
         """Whole-search dispatch from 2-bit packed reads (device/e2e.py):
         extraction, dedup, probe and top-k all in one device graph.
 
-        packed_reads: uint32 [R, L/16] (hash/device_syncmer.pack_reads)
+        raw_reads: uint8 ASCII [R, L] (hash/device_syncmer.pack_reads)
         lengths:      int32 [R]
         Returns a collector -> (vals [R,k], users [R,k], counts [R]).
         Caller guarantees flat_fast_path and device_syncmer.supports()."""
@@ -239,20 +239,21 @@ class DeviceHIXF:
         from .e2e import fused_e2e_step
         from .pallas_probe import _READ_TILE, choose_bin_tile4
 
-        R = packed_reads.shape[0]
+        R = raw_reads.shape[0]
         rpad = (-R) % _READ_TILE
         if rpad:
-            packed_reads = np.pad(packed_reads, ((0, rpad), (0, 0)))
+            raw_reads = np.pad(raw_reads, ((0, rpad), (0, 0)))
             lengths = np.pad(lengths, (0, rpad))
         dixf = self.ixfs[0]
         run_users_dev = getattr(dixf, "_run_users_dev", None)
         if run_users_dev is None:
             run_users_dev = jnp.asarray(dixf.run_users.astype(np.int32))
             dixf._run_users_dev = run_users_dev
-        L = packed_reads.shape[1] * 16
+        L = raw_reads.shape[1] * 4  # bases: 4 per packed byte
+        hcap = hash_cap(L)
         packed_dev = fused_e2e_step(
             dixf.fp,
-            jnp.asarray(packed_reads),
+            jnp.asarray(raw_reads),
             jnp.asarray(lengths.astype(np.int32)),
             dixf.run_onehot,
             run_users_dev,
@@ -262,7 +263,7 @@ class DeviceHIXF:
             k=scheme.kmer_size,
             s=scheme.syncmer_size,
             t=scheme.t_syncmer,
-            hcap=hash_cap(L),
+            hcap=hcap,
             topk=k,
             bin_tile4=choose_bin_tile4(*dixf.fp.shape),
         )
@@ -273,7 +274,8 @@ class DeviceHIXF:
 
         def collect():
             packed = np.asarray(packed_dev)[:R]
-            return packed[:, :k], packed[:, k : 2 * k], packed[:, 2 * k]
+            return (packed[:, :k], packed[:, k : 2 * k], packed[:, 2 * k],
+                    hcap)
 
         return collect
 

@@ -20,9 +20,9 @@ makes the state machine mostly position-parallel:
     deduplicates (the reference returns a hash SET,
     syncmer.cpp:157-165) and compacts valid hashes to a prefix.
 
-Upload per read: ceil(L/16) uint32 packed bases (+1 length) — ~8x less
-than shipping extracted hashes, and the 2-core host no longer runs the
-scanner at all (it was the end-to-end bottleneck).
+Upload per read: L/4 bytes of 2-bit packed bases (+1 length) — ~8x less
+than shipping extracted hashes; the ~130 MB/s host->device tunnel link
+is the end-to-end bottleneck, so bytes on the wire dominate the design.
 
 Restrictions (callers fall back to the host scanner otherwise):
 s <= 15 (s-mer fits uint32), k <= 32, scaling == 1, dna4 search
@@ -73,32 +73,60 @@ def hash_cap(L: int) -> int:
 
 
 def pack_reads(seqs: list[bytes], L: int):
-    """dna4-encode + 2-bit pack a read batch.
+    """2-bit pack a read batch, 4 bases per byte.
 
-    Returns (packed uint32 [R, L/16] with base i at bits 2*(i%16) of word
-    i//16, lengths int32 [R]).  Bases beyond a read's length are 0 (A) —
-    emissions there are masked on device by the length gate."""
+    Returns (packed uint8 [R, L/4] with base i at bits 2*(i%4) of byte
+    i//4, lengths int32 [R]).  The tunnel-attached TPU's host->device
+    link is the e2e bottleneck (~130 MB/s cold), so bases ship 2-bit
+    packed; the pack itself is branch-free u8 arithmetic + strided ORs
+    (a reduction-based 16-per-word packer cost 20x more than this on the
+    2-core host).  dna4 semantics: A/a->0 C/c->1 G/g->2 T/t/U/u->3,
+    everything else (incl. N) -> A, via y=(c>>1)&3 then y^(y>>1) with a
+    whitelist mask (matches encode_dna4)."""
     R = len(seqs)
-    W = L // BASES_PER_WORD
-    codes = np.zeros((R, L), dtype=np.uint8)
-    lengths = np.empty(R, dtype=np.int32)
+    lengths = np.fromiter((min(len(s), L) for s in seqs), dtype=np.int64,
+                          count=R)
+    from ..native import get_lib
+
+    lib = get_lib()
+    if lib is not None:
+        import ctypes
+
+        packed = np.zeros((R, L // 4), dtype=np.uint8)
+        ptrs = (ctypes.c_char_p * R)(*seqs)
+        lib.pack_reads_2bit(
+            ptrs, lengths.ctypes.data_as(ctypes.c_void_p), R, L,
+            packed.ctypes.data_as(ctypes.c_void_p),
+        )
+        return packed, lengths.astype(np.int32)
+    # numpy fallback (no compiler): branch-free u8 arithmetic
+    buf = np.zeros((R, L), dtype=np.uint8)
     for r, s in enumerate(seqs):
-        c = encode_dna4(s[:L])
-        codes[r, : c.shape[0]] = c
-        lengths[r] = c.shape[0]
-    shifts = (2 * np.arange(BASES_PER_WORD, dtype=np.uint32))[None, None, :]
+        n = int(lengths[r])
+        buf[r, :n] = np.frombuffer(s, dtype=np.uint8, count=n)
+    upper = buf & np.uint8(0xDF)  # fold lowercase
+    valid = (
+        (upper == 65) | (upper == 67) | (upper == 71)
+        | (upper == 84) | (upper == 85)
+    )
+    y = (buf >> np.uint8(1)) & np.uint8(3)
+    code = (y ^ (y >> np.uint8(1))) & (valid * np.uint8(3))
     packed = (
-        codes.reshape(R, W, BASES_PER_WORD).astype(np.uint32) << shifts
-    ).sum(axis=2, dtype=np.uint32)
-    return packed, lengths
+        code[:, 0::4]
+        | (code[:, 1::4] << np.uint8(2))
+        | (code[:, 2::4] << np.uint8(4))
+        | (code[:, 3::4] << np.uint8(6))
+    )
+    return packed, lengths.astype(np.int32)
 
 
-def _unpack_codes(packed):
-    """uint32 [R, W] -> uint32 [R, W*16] base codes in {0..3}."""
+def _codes_from_packed(packed):
+    """uint8 [R, L/4] (pack_reads) -> uint32 [R, L] codes in {0..3}."""
     R, W = packed.shape
-    shifts = (2 * jnp.arange(BASES_PER_WORD, dtype=jnp.uint32))[None, None, :]
-    codes = (packed[:, :, None] >> shifts) & jnp.uint32(3)
-    return codes.reshape(R, W * BASES_PER_WORD)
+    p = packed.astype(jnp.uint32)
+    shifts = (2 * jnp.arange(4, dtype=jnp.uint32))[None, None, :]
+    codes = (p[:, :, None] >> shifts) & jnp.uint32(3)
+    return codes.reshape(R, W * 4)
 
 
 def _rolling_smers(codes, s: int):
@@ -150,14 +178,14 @@ def _rolling_kmers(codes, k: int):
 
 
 @functools.partial(jax.jit, static_argnames=("k", "s", "t"))
-def syncmer_emit(packed, lengths, k: int, s: int, t: int):
+def syncmer_emit(packed_reads, lengths, k: int, s: int, t: int):
     """Emission mask + canonical k-mer hash for every base position.
 
     Returns (h_hi, h_lo uint32 [R, L], emit bool [R, L]) where emit[r, i]
     marks an open-syncmer k-mer ending at base i.  Bit-equal to the host
     scanner (hash/syncmer.py) under dna4 codes."""
     w = k - s + 1
-    codes = _unpack_codes(packed)
+    codes = _codes_from_packed(packed_reads)
     R, L = codes.shape
     ys = _rolling_smers(codes, s)  # [R, L] canonical smers (end-indexed)
     khi, klo = _rolling_kmers(codes, k)

@@ -68,6 +68,11 @@ def get_lib():
                 ctypes.c_void_p, ctypes.c_long, ctypes.c_int,
                 ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
             ]
+            lib.pack_reads_2bit.restype = None
+            lib.pack_reads_2bit.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long,
+                ctypes.c_long, ctypes.c_void_p,
+            ]
             lib.syncmer_scan_batch.restype = None
             lib.syncmer_scan_batch.argtypes = [
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long,

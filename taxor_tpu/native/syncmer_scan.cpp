@@ -117,4 +117,45 @@ void syncmer_scan_batch(const uint8_t* codes, const long* lengths,
     }
 }
 
+// dna4 2-bit packer: A/a->0 C/c->1 G/g->2 T/t/U/u->3, everything else
+// (incl. N) -> 0, four bases per output byte (base i at bits 2*(i%4)).
+// Matches hash/encode.encode_dna4 + hash/device_syncmer.pack_reads.
+static const uint8_t* dna4_table() {
+    static uint8_t tbl[256];
+    static bool init = false;
+    if (!init) {
+        for (int i = 0; i < 256; ++i) tbl[i] = 0;
+        tbl['A'] = tbl['a'] = 0;
+        tbl['C'] = tbl['c'] = 1;
+        tbl['G'] = tbl['g'] = 2;
+        tbl['T'] = tbl['t'] = 3;
+        tbl['U'] = tbl['u'] = 3;
+        init = true;
+    }
+    return tbl;
+}
+
+// seqs: array of nreads pointers to raw read bytes; lens: read lengths;
+// out: zero-initialized [nreads, L/4] row-major buffer.
+void pack_reads_2bit(const uint8_t** seqs, const long* lens, long nreads,
+                     long L, uint8_t* out) {
+    const uint8_t* T = dna4_table();
+    const long W = L / 4;
+    for (long r = 0; r < nreads; ++r) {
+        const uint8_t* s = seqs[r];
+        const long n = lens[r] < L ? lens[r] : L;
+        uint8_t* o = out + r * W;
+        long i = 0;
+        for (; i + 4 <= n; i += 4) {
+            o[i >> 2] = (uint8_t)(T[s[i]] | (T[s[i + 1]] << 2) |
+                                  (T[s[i + 2]] << 4) | (T[s[i + 3]] << 6));
+        }
+        if (i < n) {
+            uint8_t b = 0;
+            for (int j = 0; i + j < n; ++j) b |= T[s[i + j]] << (2 * j);
+            o[i >> 2] = b;
+        }
+    }
+}
+
 }  // extern "C"

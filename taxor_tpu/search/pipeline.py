@@ -207,9 +207,10 @@ def search_single(
 def _drain(pending, index, scheme, thresholder, dfs_rank, write_rows):
     if pending[0] == "e2e":
         _, chunk, seqs, collect = pending
-        vals, users, counts = collect()
+        vals, users, counts, hcap = collect()
         all_pairs, hash_counts = _pairs_from_e2e(
-            vals, users, counts, seqs, index, scheme, thresholder, dfs_rank
+            vals, users, counts, seqs, index, scheme, thresholder,
+            dfs_rank, hcap
         )
         write_rows(chunk, hash_counts, all_pairs)
         return
@@ -245,20 +246,20 @@ def _device_dispatch(device_hixf, hash_lists, thresholds):
 
 
 def _pairs_from_e2e(vals, users, counts, seqs, index, scheme, thresholder,
-                    dfs_rank):
+                    dfs_rank, hcap):
     """Decode the fused end-to-end device result (device/e2e.py).
 
     Device returns top-k RAW run sums; this applies the per-read
     threshold (exact host float64 — no device float math in the parity
     path) and detects the two truncation cases that need the host
-    oracle: unique hashes overflowing the device hash capacity, and all
-    k candidate slots surviving the threshold + 0.8*max pre-filter."""
-    from ..hash.device_syncmer import hash_cap, pad_len_bucket
+    oracle: unique hashes overflowing the device hash capacity (hcap is
+    the capacity the device step actually used — passed through the
+    collector so the two can never disagree), and all k candidate slots
+    surviving the threshold + 0.8*max pre-filter."""
     from ..hash.schemes import search_hashes
 
     k_sch = scheme.kmer_size
     kk = vals.shape[1]
-    hcap = hash_cap(pad_len_bucket(max((len(s) for s in seqs), default=1)))
     pairs_per_read = []
     hash_counts = []
 

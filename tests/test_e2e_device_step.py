@@ -80,7 +80,8 @@ def test_fused_step_matches_host_oracle(flat_setup):
                                    0.04, -1.0, scheme.use_syncmer)
     dfs_rank = hixf.user_bin_dfs_order()
     pairs, hash_counts = _pairs_from_e2e(
-        vals, ubs, counts, reads, index, scheme, thresholder, dfs_rank
+        vals, ubs, counts, reads, index, scheme, thresholder, dfs_rank,
+        hcap
     )
 
     host_hl = search_hashes(reads, scheme)
@@ -94,3 +95,53 @@ def test_fused_step_matches_host_oracle(flat_setup):
         assert pairs[r] == expect, f"read {r}"
         n_hits += bool(expect)
     assert n_hits >= len(reads) * 3 // 4  # sanity: most reads classified
+
+
+def test_hcap_overflow_triggers_host_fallback(flat_setup):
+    """If unique hashes exceed the device hash capacity, the decode must
+    detect it via the device-reported count and use the host oracle —
+    counts computed from a truncated hash set must never be emitted
+    (regression: a dispatch/decode hcap mismatch silently undercounted)."""
+    import jax.numpy as jnp
+
+    index, reads = flat_setup
+    scheme = index.scheme
+    hixf = index.hixf
+    ixf = hixf.ixfs[0]
+    fp = prepare_fingerprints(ixf.fingerprints)
+    starts, ends, users = hixf.runs_of_ixf(0)
+    onehot = np.zeros((fp.shape[1] * 4, starts.shape[0]), dtype=np.float32)
+    for i, (a, b) in enumerate(zip(starts, ends)):
+        onehot[a:b, i] = 1.0
+    L = pad_len_bucket(max(len(r) for r in reads))
+    packed, lengths = pack_reads(reads, L)
+    rpad = (-len(reads)) % 16
+    packed = np.pad(packed, ((0, rpad), (0, 0)))
+    lengths = np.pad(lengths, (0, rpad))
+    hcap = 4  # artificially tiny: every read overflows
+    out = np.asarray(fused_e2e_step(
+        jnp.asarray(fp), jnp.asarray(packed), jnp.asarray(lengths),
+        jnp.asarray(onehot), jnp.asarray(users.astype(np.int32)),
+        jnp.uint32(ixf.seed >> 32), jnp.uint32(ixf.seed & 0xFFFFFFFF),
+        jnp.uint32(ixf.block_length),
+        k=scheme.kmer_size, s=scheme.syncmer_size, t=scheme.t_syncmer,
+        hcap=hcap, topk=16, bin_tile4=choose_bin_tile4(*fp.shape),
+        interpret=True,
+    ))[: len(reads)]
+    vals, ubs, counts = out[:, :16], out[:, 16:32], out[:, 32]
+    assert (counts > hcap).all()  # device reports the TRUE unique count
+
+    thresholder = Thresholder.make(scheme.kmer_size, scheme.window_size,
+                                   0.04, -1.0, scheme.use_syncmer)
+    dfs_rank = hixf.user_bin_dfs_order()
+    pairs, hash_counts = _pairs_from_e2e(
+        vals, ubs, counts, reads, index, scheme, thresholder, dfs_rank,
+        hcap
+    )
+    host_hl = search_hashes(reads, scheme)
+    for r, seq in enumerate(reads):
+        hl = host_hl[r]
+        assert hash_counts[r] == hl.shape[0]
+        thr = _read_threshold(thresholder, hl.shape[0], len(seq),
+                              scheme.kmer_size)
+        assert pairs[r] == hixf.membership(hl, thr)
