@@ -28,6 +28,77 @@ from ..utils.u64jnp import probe_positions_and_fprint4
 from .pallas_probe import _HASH_UNROLL, _body_counts, _probe_call
 
 
+def make_hixf_e2e_fn(dixfs, tree_children, leaf_runs, leaf_users,
+                     k: int, s: int, t: int, topk: int,
+                     interpret: bool = False):
+    """Build the fused HIERARCHICAL search step for one DeviceHIXF.
+
+    The reference's per-read recursion (bulk_contains_impl,
+    hierarchical_interleaved_xor_filter.hpp:304-340) becomes a static
+    unroll over the BFS-ordered IXF list inside ONE jit: every IXF runs
+    the probe kernel over the whole batch with a per-read active mask
+    (inactive reads get a zero trip count — near-free), merged-run sums
+    >= threshold open the child's mask, leaf-run sums concatenate into
+    one global candidate matrix for top-k.  Descent thresholds come from
+    a host-precomputed exact per-count table (thr_table[n_unique]) so no
+    device float math can diverge from the reference's float64.
+
+    dixfs: BFS-ordered list of _DeviceIXF (pallas engine).
+    tree_children: per BFS position, list of (run_idx, child_bfs_pos).
+    leaf_runs: per BFS position, int32 array of leaf run indices.
+    leaf_users: int32 np array, user bin per concatenated leaf run.
+    """
+    from .pallas_probe import choose_bin_tile4
+
+    leaf_users_dev = jnp.asarray(leaf_users.astype(np.int32))
+    bt4s = [choose_bin_tile4(*d.fp.shape) for d in dixfs]
+    leaf_sel = [jnp.asarray(lr.astype(np.int32)) for lr in leaf_runs]
+
+    @functools.partial(jax.jit, static_argnames=("hcap",))
+    def run(packed_reads, lengths, thr_table, hcap: int):
+        R = packed_reads.shape[0]
+        h_hi, h_lo, emit = syncmer_emit(packed_reads, lengths, k, s, t)
+        hi, lo, valid, n_unique = dedup_sorted(h_hi, h_lo, emit, hcap)
+        thr = thr_table[jnp.clip(n_unique, 0, thr_table.shape[0] - 1)]
+        bodies = _body_counts(valid)[:, 0, 0]
+        active = {0: jnp.ones((R,), dtype=bool)}
+        leaf_vals = []
+        for pos_i, (dixf, bt4, sel) in enumerate(
+                zip(dixfs, bt4s, leaf_sel)):
+            act = active[pos_i]
+            pos, f4 = probe_positions_and_fprint4(
+                hi, lo, dixf.seed_hi, dixf.seed_lo, dixf.bl_u32)
+            S1 = dixf.fp.shape[0]
+            pos = jnp.where(valid[..., None], pos, jnp.int32(S1 - 1))
+            f4 = jnp.where(valid, f4, jnp.uint32(0x01010101))
+            f4i = jax.lax.bitcast_convert_type(f4, jnp.int32)[:, None, :]
+            bodies_i = jnp.where(act, bodies, 0)[:, None, None]
+            counts = _probe_call(dixf.fp, pos.reshape(R, 1, hcap * 3),
+                                 f4i, bodies_i, bt4, interpret)
+            sums = jnp.dot(
+                counts.astype(jnp.float32), dixf.run_onehot,
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.int32)
+            for run_idx, child_pos in tree_children[pos_i]:
+                active[child_pos] = act & (sums[:, run_idx] >= thr)
+            if sel.shape[0]:
+                leaf_vals.append(
+                    jnp.where(act[:, None], sums[:, sel], jnp.int32(-1))
+                )
+        allv = jnp.concatenate(leaf_vals, axis=1)
+        kk = min(topk, allv.shape[1])
+        vals, idx = jax.lax.top_k(allv, kk)
+        users = leaf_users_dev[idx]
+        users = jnp.where(vals >= 0, users, jnp.int32(-1))
+        if kk < topk:
+            pad = ((0, 0), (0, topk - kk))
+            vals = jnp.pad(vals, pad, constant_values=-1)
+            users = jnp.pad(users, pad, constant_values=-1)
+        return jnp.concatenate([vals, users, n_unique[:, None]], axis=1)
+
+    return run
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("k", "s", "t", "hcap", "topk", "bin_tile4",

@@ -226,15 +226,78 @@ class DeviceHIXF:
 
         return collect
 
-    def e2e_async(self, raw_reads: np.ndarray, lengths: np.ndarray,
-                  scheme, k: int = 16):
-        """Whole-search dispatch from 2-bit packed reads (device/e2e.py):
-        extraction, dedup, probe and top-k all in one device graph.
+    def e2e_capable(self, thresholder=None) -> bool:
+        """Whether the fused reads->top-k dispatch covers this index:
+        flat always qualifies (thresholds applied on host); hierarchical
+        needs every IXF on the Pallas engine plus a count-only threshold
+        model (percentage / syncmer table) for the exact device descent
+        table."""
+        if self.mesh is not None:
+            return False
+        if not all(d.engine == "pallas" for d in self.ixfs):
+            return False
+        if len(self.ixfs) == 1:
+            return True
+        return thresholder is not None and thresholder.kind in (
+            "percentage", "syncmer_model")
 
-        raw_reads: uint8 ASCII [R, L] (hash/device_syncmer.pack_reads)
+    def _thr_table(self, thresholder, hcap: int) -> np.ndarray:
+        """Exact per-hash-count descent thresholds, computed on host with
+        the reference's float64 semantics and uploaded once.  Count-only
+        models (percentage / syncmer) ignore the scaling argument."""
+        tbl = np.empty(hcap + 1, dtype=np.int64)
+        for c in range(hcap + 1):
+            tbl[c] = thresholder.get(c, 0.0)
+        return np.clip(tbl, 0, 2**31 - 1).astype(np.int32)
+
+    def _hixf_e2e_fn(self, scheme, k: int):
+        """Cached hierarchical fused step (make_hixf_e2e_fn closure)."""
+        key = (scheme.kmer_size, scheme.syncmer_size, scheme.t_syncmer, k)
+        cache = getattr(self, "_hixf_e2e_cache", None)
+        if cache is None:
+            cache = self._hixf_e2e_cache = {}
+        if key not in cache:
+            from .e2e import make_hixf_e2e_fn
+
+            bfs_pos = {ixf_id: p for p, ixf_id in enumerate(self.bfs_order)}
+            dixfs = [self.ixfs[i] for i in self.bfs_order]
+            tree_children = []
+            leaf_runs = []
+            leaf_users_parts = []
+            for i in self.bfs_order:
+                d = self.ixfs[i]
+                kids = []
+                leaves = []
+                for r, c in enumerate(d.run_children):
+                    if int(c) >= 0:
+                        kids.append((r, bfs_pos[int(c)]))
+                    else:
+                        leaves.append(r)
+                tree_children.append(kids)
+                leaf_runs.append(np.array(leaves, dtype=np.int32))
+                leaf_users_parts.append(
+                    d.run_users[np.array(leaves, dtype=np.int64)]
+                    if leaves else np.zeros(0, dtype=np.int64)
+                )
+            leaf_users = np.concatenate(leaf_users_parts)
+            cache[key] = make_hixf_e2e_fn(
+                dixfs, tree_children, leaf_runs, leaf_users,
+                k=scheme.kmer_size, s=scheme.syncmer_size,
+                t=scheme.t_syncmer, topk=k,
+                interpret=getattr(self, "_interpret", False),
+            )
+        return cache[key]
+
+    def e2e_async(self, raw_reads: np.ndarray, lengths: np.ndarray,
+                  scheme, thresholder=None, k: int = 16):
+        """Whole-search dispatch from 2-bit packed reads (device/e2e.py):
+        extraction, dedup, probe, (hierarchical descent) and top-k all in
+        one device graph.
+
+        raw_reads: uint8 [R, L/4] 2-bit packed (device_syncmer.pack_reads)
         lengths:      int32 [R]
-        Returns a collector -> (vals [R,k], users [R,k], counts [R]).
-        Caller guarantees flat_fast_path and device_syncmer.supports()."""
+        Returns a collector -> (vals [R,k], users [R,k], counts [R], hcap).
+        Caller guarantees e2e_capable() and device_syncmer.supports()."""
         from ..hash.device_syncmer import hash_cap
         from .e2e import fused_e2e_step
         from .pallas_probe import _READ_TILE, choose_bin_tile4
@@ -244,6 +307,34 @@ class DeviceHIXF:
         if rpad:
             raw_reads = np.pad(raw_reads, ((0, rpad), (0, 0)))
             lengths = np.pad(lengths, (0, rpad))
+        if len(self.ixfs) > 1:
+            L = raw_reads.shape[1] * 4
+            hcap = hash_cap(L)
+            tbl_cache = getattr(self, "_thr_table_cache", None)
+            if tbl_cache is None:
+                tbl_cache = self._thr_table_cache = {}
+            tkey = (id(thresholder), hcap)
+            if tkey not in tbl_cache:
+                tbl_cache[tkey] = jnp.asarray(
+                    self._thr_table(thresholder, hcap))
+            fn = self._hixf_e2e_fn(scheme, k)
+            packed_dev = fn(
+                jnp.asarray(raw_reads),
+                jnp.asarray(lengths.astype(np.int32)),
+                tbl_cache[tkey],
+                hcap=hcap,
+            )
+            try:
+                packed_dev.copy_to_host_async()
+            except Exception:
+                pass
+
+            def collect():
+                packed = np.asarray(packed_dev)[:R]
+                return (packed[:, :k], packed[:, k : 2 * k],
+                        packed[:, 2 * k], hcap)
+
+            return collect
         dixf = self.ixfs[0]
         run_users_dev = getattr(dixf, "_run_users_dev", None)
         if run_users_dev is None:

@@ -103,7 +103,8 @@ def search_single(
     use_e2e = (
         config.engine == "device"
         and device_hixf is not None
-        and getattr(device_hixf, "flat_fast_path", False)
+        and hasattr(device_hixf, "e2e_capable")
+        and device_hixf.e2e_capable(thresholder)
         and dsync.supports(scheme)
     )
 
@@ -183,7 +184,8 @@ def search_single(
             # device round-trip latency behind the next dispatch
             if prepared[0] == "e2e":
                 _, chunk, seqs, packed, lengths = prepared
-                collect = device_hixf.e2e_async(packed, lengths, scheme)
+                collect = device_hixf.e2e_async(packed, lengths, scheme,
+                                                 thresholder)
                 pending_new = ("e2e", chunk, seqs, collect)
             else:
                 _, chunk, hash_lists, hash_counts, thresholds = prepared

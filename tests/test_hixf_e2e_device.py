@@ -1,0 +1,93 @@
+"""Hierarchical fused device search step (make_hixf_e2e_fn) vs the host
+oracle on a multi-level HIXF, Pallas kernel in interpreter mode."""
+
+import os
+
+import numpy as np
+import pytest
+
+from taxor_tpu.apps.build import BuildConfig, run_build
+from taxor_tpu.device.hixf_search import DeviceHIXF
+from taxor_tpu.hash import device_syncmer as dsync
+from taxor_tpu.hash.schemes import search_hashes
+from taxor_tpu.search.pipeline import _pairs_from_e2e, _read_threshold
+from taxor_tpu.search.thresholds import Thresholder
+
+from .util import make_reads, make_ref_set
+
+
+@pytest.fixture(scope="module")
+def hier_setup(tmp_path_factory):
+    from taxor_tpu.io.fastx import read_all
+
+    tmp = str(tmp_path_factory.mktemp("hier_dev"))
+    rng = np.random.default_rng(21)
+    tsv, gdir, genomes = make_ref_set(tmp, rng, n_species=100,
+                                      genome_len=3000)
+    reads_file = make_reads(tmp, rng, genomes, n_reads_per_genome=2,
+                            read_len=800, error_rate=0.02)
+    index = run_build(BuildConfig(
+        input_file=tsv, input_sequence_dir=gdir, output_filename="",
+        kmer_size=16, syncmer_size=8, use_syncmer=True,
+        layout_mode="auto", tmax=64,
+        layout_file=os.path.join(tmp, "b.out"),
+    ))
+    assert len(index.hixf.ixfs) > 1  # genuinely hierarchical
+    reads = [r.seq for r in read_all(reads_file)]
+    return index, reads
+
+
+@pytest.mark.parametrize("percentage", [-1.0, 0.3])
+def test_hier_fused_matches_host(hier_setup, percentage):
+    index, reads = hier_setup
+    scheme = index.scheme
+    thresholder = Thresholder.make(scheme.kmer_size, scheme.window_size,
+                                   0.04, percentage, scheme.use_syncmer)
+    dhixf = DeviceHIXF(index.hixf, engine="pallas")
+    dhixf._interpret = True  # Pallas interpreter: runs on the CPU mesh
+    assert dhixf.e2e_capable(thresholder)
+    assert len(dhixf.ixfs) > 1
+
+    L = dsync.pad_len_bucket(max(len(r) for r in reads))
+    packed, lengths = dsync.pack_reads(reads, L)
+    vals, users, counts, hcap = dhixf.e2e_async(
+        packed, lengths, scheme, thresholder)()
+    dfs_rank = index.hixf.user_bin_dfs_order()
+    pairs, hash_counts = _pairs_from_e2e(
+        vals, users, counts, reads, index, scheme, thresholder, dfs_rank,
+        hcap
+    )
+    def final_rows(prs):
+        """The reference's emission after the 0.8*max filter
+        (taxor_search.cpp:285) — the product-visible result."""
+        if not prs:
+            return []
+        mx = max(c for _, c in prs)
+        return sorted((u, c) for u, c in prs
+                      if not float(c) < float(mx) * 0.8)
+
+    host_hl = search_hashes(reads, scheme)
+    n_hits = 0
+    for r, seq in enumerate(reads):
+        hl = host_hl[r]
+        assert hash_counts[r] == hl.shape[0]
+        thr = _read_threshold(thresholder, hl.shape[0], len(seq),
+                              scheme.kmer_size)
+        expect = index.hixf.membership(hl, thr)
+        got = final_rows(pairs[r])
+        want = final_rows(expect)
+        assert got == want, f"read {r}: {got} vs {want}"
+        n_hits += bool(expect)
+    assert n_hits >= len(reads) // 2
+
+
+def test_thr_table_matches_host(hier_setup):
+    index, _ = hier_setup
+    scheme = index.scheme
+    for pct in (-1.0, 0.25, 1.0):
+        th = Thresholder.make(scheme.kmer_size, scheme.window_size,
+                              0.04, pct, scheme.use_syncmer)
+        dhixf = DeviceHIXF(index.hixf, engine="pallas")
+        tbl = dhixf._thr_table(th, 512)
+        for c in (0, 1, 7, 100, 511, 512):
+            assert tbl[c] == min(th.get(c, 0.0), 2**31 - 1)
