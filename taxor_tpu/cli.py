@@ -5,9 +5,30 @@ set_up_subparser_layout functions)."""
 from __future__ import annotations
 
 import argparse
+import os
 import resource
 import sys
 import time
+
+
+def _enable_persistent_compile_cache() -> None:
+    """Persist XLA executables across CLI invocations.  The fused search
+    graphs are large (one probe kernel per IXF) and the first compile of
+    a deep tree can take minutes through a remote compile service; the
+    on-disk cache makes every later `taxor search` start instantly for
+    the same index/batch shapes."""
+    try:
+        import jax
+
+        d = os.environ.get(
+            "TAXOR_TPU_XLA_CACHE",
+            os.path.expanduser("~/.cache/taxor_tpu_xla"),
+        )
+        os.makedirs(d, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", d)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    except Exception:
+        pass  # cache is an optimization, never a requirement
 
 
 def _add_build(sub):
@@ -71,6 +92,7 @@ def _add_profile(sub):
 
 
 def main(argv: list[str] | None = None) -> int:
+    _enable_persistent_compile_cache()
     parser = argparse.ArgumentParser(
         prog="taxor",
         description="Taxonomic classification of long reads (TPU-native)",
