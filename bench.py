@@ -140,35 +140,38 @@ def main():
             return dhixf.e2e_async(packed, lengths, scheme)
 
         def drain(collect):
-            vals, users, counts, hcap = collect()
-            return _pairs_from_e2e(vals, users, counts, seqs, index,
-                                   scheme, thresholder, dfs_rank, hcap)
+            vals, users, counts, n_emit, hcap = collect()
+            return _pairs_from_e2e(vals, users, counts, n_emit, seqs,
+                                   index, scheme, thresholder, dfs_rank,
+                                   hcap)
 
         log("bench: compiling fused e2e step ...")
         t0 = time.perf_counter()
         first_pairs, _ = drain(dispatch())
         log(f"bench: device compile+warmup {time.perf_counter()-t0:.1f}s")
-        # pipelined end-to-end throughput: raw reads -> classified pairs,
-        # three batches in flight (the pipeline's dispatch-ahead pattern).
-        # The tunneled-TPU link has multi-second latency spikes, so the
-        # reported number is the MEDIAN per-pass time over 20 passes.
-        n_pass = 20
-        from collections import deque
+        # Pipelined end-to-end throughput: raw reads -> classified pairs.
+        # Each worker thread owns whole passes (pack, upload, compute,
+        # download, decode); work issued from DIFFERENT threads
+        # multiplexes on the device link, so transfers of pass i ride
+        # under compute of pass j (same structure as the production
+        # pipeline, search/pipeline.py).  Sustained throughput over all
+        # passes; a warmup pass per worker is excluded.
+        from concurrent.futures import ThreadPoolExecutor
 
-        marks = [time.perf_counter()]
-        q = deque()
-        for _ in range(n_pass):
-            q.append(dispatch())
-            if len(q) > 3:
-                drain(q.popleft())
-                marks.append(time.perf_counter())
-        while q:
-            drain(q.popleft())
-            marks.append(time.perf_counter())
-        deltas = np.diff(marks)
-        # drop the pipeline-fill offset: first delta covers 4 dispatches
-        t_dev = float(np.median(deltas[1:]))
-        log("bench: per-pass ms: "
+        n_pass = 24
+        depth = 4
+
+        def one_pass(_):
+            drain(dispatch())
+            return time.perf_counter()
+
+        with ThreadPoolExecutor(depth) as ex:
+            list(ex.map(one_pass, range(depth)))  # warm per-worker state
+            t0 = time.perf_counter()
+            marks = sorted(ex.map(one_pass, range(n_pass)))
+        t_dev = (marks[-1] - t0) / n_pass
+        deltas = np.diff([t0] + marks)
+        log("bench: completion gaps ms: "
             + " ".join(f"{d*1e3:.0f}" for d in deltas))
         device.update(
             t_device=t_dev,

@@ -23,8 +23,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..hash.device_syncmer import dedup_sorted, syncmer_emit
-from ..utils.u64jnp import probe_positions_and_fprint4
+from ..hash.device_syncmer import dedup_kmers, syncmer_kmers
+from ..utils.u64jnp import probe_positions_and_fprint4, wyhash64
 from .pallas_probe import _HASH_UNROLL, _body_counts, _probe_call
 
 
@@ -57,8 +57,10 @@ def make_hixf_e2e_fn(dixfs, tree_children, leaf_runs, leaf_users,
     @functools.partial(jax.jit, static_argnames=("hcap",))
     def run(packed_reads, lengths, thr_table, hcap: int):
         R = packed_reads.shape[0]
-        h_hi, h_lo, emit = syncmer_emit(packed_reads, lengths, k, s, t)
-        hi, lo, valid, n_unique = dedup_sorted(h_hi, h_lo, emit, hcap)
+        k_hi, k_lo, emit = syncmer_kmers(packed_reads, lengths, k, s, t)
+        khi_c, klo_c, valid, n_unique, n_emit = dedup_kmers(
+            k_hi, k_lo, emit, hcap)
+        hi, lo = wyhash64(khi_c, klo_c)
         thr = thr_table[jnp.clip(n_unique, 0, thr_table.shape[0] - 1)]
         bodies = _body_counts(valid)[:, 0, 0]
         active = {0: jnp.ones((R,), dtype=bool)}
@@ -94,7 +96,8 @@ def make_hixf_e2e_fn(dixfs, tree_children, leaf_runs, leaf_users,
             pad = ((0, 0), (0, topk - kk))
             vals = jnp.pad(vals, pad, constant_values=-1)
             users = jnp.pad(users, pad, constant_values=-1)
-        return jnp.concatenate([vals, users, n_unique[:, None]], axis=1)
+        return jnp.concatenate(
+            [vals, users, n_unique[:, None], n_emit[:, None]], axis=1)
 
     return run
 
@@ -122,13 +125,16 @@ def fused_e2e_step(
     bin_tile4: int,
     interpret: bool = False,
 ):
-    """Returns packed int32 [R, 2*topk + 1]:
+    """Returns packed int32 [R, 2*topk + 2]:
     [:, :topk] descending raw run sums, [:, topk:2*topk] their user bins
-    (-1 for merged/padding), [:, -1] the per-read unique hash count."""
+    (-1 for merged/padding), [:, -2] the per-read unique hash count,
+    [:, -1] the pre-dedup emission count (> hcap => host fallback)."""
     assert hcap % _HASH_UNROLL == 0
     R = raw_reads.shape[0]
-    h_hi, h_lo, emit = syncmer_emit(raw_reads, lengths, k, s, t)
-    hi, lo, valid, n_unique = dedup_sorted(h_hi, h_lo, emit, hcap)
+    k_hi, k_lo, emit = syncmer_kmers(raw_reads, lengths, k, s, t)
+    khi_c, klo_c, valid, n_unique, n_emit = dedup_kmers(
+        k_hi, k_lo, emit, hcap)
+    hi, lo = wyhash64(khi_c, klo_c)
     pos, f4 = probe_positions_and_fprint4(hi, lo, seed_hi, seed_lo,
                                           block_length)
     S1 = fp_packed.shape[0]
@@ -150,4 +156,5 @@ def fused_e2e_step(
         pad = ((0, 0), (0, topk - kk))
         vals = jnp.pad(vals, pad, constant_values=-1)
         users = jnp.pad(users, pad, constant_values=-1)
-    return jnp.concatenate([vals, users, n_unique[:, None]], axis=1)
+    return jnp.concatenate(
+        [vals, users, n_unique[:, None], n_emit[:, None]], axis=1)

@@ -296,7 +296,9 @@ class DeviceHIXF:
 
         raw_reads: uint8 [R, L/4] 2-bit packed (device_syncmer.pack_reads)
         lengths:      int32 [R]
-        Returns a collector -> (vals [R,k], users [R,k], counts [R], hcap).
+        Returns a collector -> (vals [R,k], users [R,k], counts [R],
+        n_emit [R], hcap); counts = unique hashes (threshold input),
+        n_emit = pre-dedup emissions (n_emit > hcap => host fallback).
         Caller guarantees e2e_capable() and device_syncmer.supports()."""
         from ..hash.device_syncmer import hash_cap
         from .e2e import fused_e2e_step
@@ -332,7 +334,7 @@ class DeviceHIXF:
             def collect():
                 packed = np.asarray(packed_dev)[:R]
                 return (packed[:, :k], packed[:, k : 2 * k],
-                        packed[:, 2 * k], hcap)
+                        packed[:, 2 * k], packed[:, 2 * k + 1], hcap)
 
             return collect
         dixf = self.ixfs[0]
@@ -366,7 +368,7 @@ class DeviceHIXF:
         def collect():
             packed = np.asarray(packed_dev)[:R]
             return (packed[:, :k], packed[:, k : 2 * k], packed[:, 2 * k],
-                    hcap)
+                    packed[:, 2 * k + 1], hcap)
 
         return collect
 

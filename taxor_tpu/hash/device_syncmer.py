@@ -177,21 +177,34 @@ def _rolling_kmers(codes, k: int):
     return chi, clo
 
 
-@functools.partial(jax.jit, static_argnames=("k", "s", "t"))
-def syncmer_emit(packed_reads, lengths, k: int, s: int, t: int):
-    """Emission mask + canonical k-mer hash for every base position.
+# scan steps unrolled per lax.scan iteration: the min tracker does ~40
+# vector ops on [R]-wide lanes per base, so per-iteration overhead (HBM
+# dynamic slice + loop bookkeeping) dominates an un-chunked scan
+_SCAN_CHUNK = 16
 
-    Returns (h_hi, h_lo uint32 [R, L], emit bool [R, L]) where emit[r, i]
+
+@functools.partial(jax.jit, static_argnames=("k", "s", "t"))
+def syncmer_kmers(packed_reads, lengths, k: int, s: int, t: int):
+    """Emission mask + canonical k-mer value for every base position.
+
+    Returns (khi, klo uint32 [R, L], emit bool [R, L]) where emit[r, i]
     marks an open-syncmer k-mer ending at base i.  Bit-equal to the host
-    scanner (hash/syncmer.py) under dna4 codes."""
+    scanner (hash/syncmer.py) under dna4 codes — hashes are NOT applied
+    here so callers can dedup on raw k-mers first (cheaper: the wyhash
+    runs on the compacted [R, hcap] slice, not all L positions)."""
     w = k - s + 1
     codes = _codes_from_packed(packed_reads)
     R, L = codes.shape
     ys = _rolling_smers(codes, s)  # [R, L] canonical smers (end-indexed)
     khi, klo = _rolling_kmers(codes, k)
-    h_hi, h_lo = wyhash64(khi, klo)
 
     ys_t = ys.T  # [L, R]: scan axis leading
+    # pad so the last chunk's dynamic_slice never clamps (clamping would
+    # shift the window of the real trailing positions); padded rows are
+    # only touched by overrun steps whose emits are discarded
+    ys_t = jnp.concatenate(
+        [ys_t, jnp.full((_SCAN_CHUNK, R), _UMAX32, dtype=jnp.uint32)]
+    )
 
     # first full window: k-mer ends at i0 = k-1; ordered s-mers end at
     # s-1 .. k-1.  Leftmost minimum, strict < (syncmer.cpp:120-126).
@@ -205,10 +218,10 @@ def syncmer_emit(packed_reads, lengths, k: int, s: int, t: int):
     qmin_pos0 = lmj  # absolute smer start = (k-1)-k+1+j = j
     emit0 = qmin_pos0 == jnp.int32(t - 1)  # i0-k+t = t-1
 
-    def step(carry, i):
+    def substep(carry, win, i):
+        """One base position: window = smers ending at i-w+1 .. i
+        ([w, R] static slice of the chunk)."""
         qmin_val, qmin_pos = carry
-        # window of the k-mer ending at i: smers ending at i-w+1 .. i
-        win = jax.lax.dynamic_slice(ys_t, (i - w + 1, 0), (w, R))
         ys_new = win[w - 1]
         popped = qmin_pos == (i - k)  # the evicted smer held the min
         # rightmost minimum, strict < scanning right-to-left
@@ -227,10 +240,28 @@ def syncmer_emit(packed_reads, lengths, k: int, s: int, t: int):
         emit_i = qmin_pos == (i - k + t)
         return (qmin_val, qmin_pos), emit_i
 
-    if L > k:
+    CH = _SCAN_CHUNK
+
+    def chunk_step(carry, i0):
+        # one HBM slice per chunk; the CH inner steps use static slices
+        blk = jax.lax.dynamic_slice(ys_t, (i0 - w + 1, 0), (CH + w - 1, R))
+        emits = []
+        for c in range(CH):
+            carry, e = substep(carry, blk[c : c + w], i0 + c)
+            emits.append(e)
+        return carry, jnp.stack(emits)  # [CH, R]
+
+    n_steps = max(0, L - k)
+    if n_steps:
+        nb = (n_steps + CH - 1) // CH
+        # overrun steps read clamped slices (garbage) — their emits are
+        # sliced away below and they only run after all real positions,
+        # so the carry they corrupt is never used
+        starts = k + CH * jnp.arange(nb, dtype=jnp.int32)
         (_, _), emits = jax.lax.scan(
-            step, (qmin_val0, qmin_pos0), jnp.arange(k, L, dtype=jnp.int32)
-        )  # emits [L-k, R]
+            chunk_step, (qmin_val0, qmin_pos0), starts
+        )  # [nb, CH, R]
+        emits = emits.reshape(nb * CH, R)[:n_steps]
         emit = jnp.concatenate([emit0[None, :], emits], axis=0).T
     else:
         emit = emit0[:, None]
@@ -240,7 +271,49 @@ def syncmer_emit(packed_reads, lengths, k: int, s: int, t: int):
     # gate by read length (bases beyond the read are A-padding)
     emit = emit & (jnp.arange(L, dtype=jnp.int32)[None, :]
                    < lengths[:, None])
+    return khi, klo, emit
+
+
+@functools.partial(jax.jit, static_argnames=("k", "s", "t"))
+def syncmer_emit(packed_reads, lengths, k: int, s: int, t: int):
+    """syncmer_kmers + wyhash64 per position: (h_hi, h_lo, emit)."""
+    khi, klo, emit = syncmer_kmers(packed_reads, lengths, k, s, t)
+    h_hi, h_lo = wyhash64(khi, klo)
     return h_hi, h_lo, emit
+
+
+@functools.partial(jax.jit, static_argnames=("hcap",))
+def dedup_kmers(khi, klo, emit, hcap: int):
+    """Sort each read's emitted CANONICAL K-MERS, mask duplicates, slice
+    to [R, hcap].  Returns (khi, klo, valid, n_unique, n_emit).
+
+    Dedup runs on raw k-mer values, before hashing: (1) the all-ones
+    sentinel is collision-free — a canonical k-mer can never be 2^64-1
+    (that would need fwd == rev == all-T, but rev(all-T) == all-A), so
+    unlike hash-space dedup there is no sentinel divergence; (2) the
+    wyhash then only runs on the hcap-wide slice.  Unlike dedup_sorted
+    there is NO compaction sort: duplicates stay interleaved with a
+    False valid bit — the probe kernel sentinel-probes them for free
+    (pallas_probe._body_counts uses the last-true position).  The
+    reference dedups on hash values (syncmer.cpp:160); k-mer dedup
+    differs only if two distinct k-mers wyhash-collide (~2^-64/pair).
+
+    n_emit is the pre-dedup emission count: n_emit > hcap means unique
+    k-mers may sit beyond the slice, so callers must fall back to the
+    host oracle for that read (n_unique alone can miss truncation —
+    duplicates can push uniques past hcap)."""
+    sent = jnp.uint32(_UMAX32)
+    shi = jnp.where(emit, khi, sent)
+    slo = jnp.where(emit, klo, sent)
+    shi, slo = jax.lax.sort((shi, slo), dimension=1, num_keys=2)
+    prev_hi = jnp.concatenate([~shi[:, :1], shi[:, :-1]], axis=1)
+    prev_lo = jnp.concatenate([~slo[:, :1], slo[:, :-1]], axis=1)
+    is_sent = (shi == sent) & (slo == sent)
+    uniq = ((shi != prev_hi) | (slo != prev_lo)) & ~is_sent
+    n_unique = uniq.sum(axis=1, dtype=jnp.int32)
+    n_emit = emit.sum(axis=1, dtype=jnp.int32)
+    return (shi[:, :hcap], slo[:, :hcap], uniq[:, :hcap],
+            n_unique, n_emit)
 
 
 @functools.partial(jax.jit, static_argnames=("hcap",))

@@ -41,6 +41,11 @@ class SearchConfig:
     error_rate: float = 0.04
     engine: str = "device"  # 'device' | 'host' | 'sharded'
     batch_size: int = 1024
+    # overlapped batches in flight: the device link serializes per
+    # thread, but transfers issued from different threads multiplex with
+    # compute, so each stage (pack, upload, compute, download, decode)
+    # of consecutive batches overlaps
+    pipeline_depth: int = 4
     write_time: bool = False
     # sharded engine mesh ('reads' x 'bins'); 0 = auto over all devices
     mesh_reads: int = 0
@@ -166,66 +171,79 @@ def search_single(
 
     reads_io = 0.0
     compute = 0.0
-    t_io = time.perf_counter()
-    pending = None
-    for prepared in prefetched():
-        reads_io += time.perf_counter() - t_io
-        t0 = time.perf_counter()
 
-        if config.engine == "host":
+    if config.engine == "host":
+        t_io = time.perf_counter()
+        for prepared in prefetched():
+            reads_io += time.perf_counter() - t_io
+            t0 = time.perf_counter()
             _, chunk, hash_lists, hash_counts, thresholds = prepared
             all_pairs = [
                 index.hixf.membership(h, int(t))
                 for h, t in zip(hash_lists, thresholds)
             ]
             write_rows(chunk, hash_counts, all_pairs)
-        else:
-            # dispatch this batch, then drain the previous one — hides the
-            # device round-trip latency behind the next dispatch
-            if prepared[0] == "e2e":
-                _, chunk, seqs, packed, lengths = prepared
-                collect = device_hixf.e2e_async(packed, lengths, scheme,
-                                                 thresholder)
-                pending_new = ("e2e", chunk, seqs, collect)
-            else:
-                _, chunk, hash_lists, hash_counts, thresholds = prepared
-                collect = _device_dispatch(device_hixf, hash_lists,
-                                           thresholds)
-                pending_new = ("hash", chunk, hash_counts, thresholds,
-                               collect, hash_lists)
-            if pending is not None:
-                _drain(pending, index, scheme, thresholder, dfs_rank,
-                       write_rows)
-            pending = pending_new
-        compute += time.perf_counter() - t0
-        t_io = time.perf_counter()
-    if pending is not None:
+            compute += time.perf_counter() - t0
+            t_io = time.perf_counter()
+        return {"reads_io": reads_io, "compute": compute}
+
+    # Device engines: P batches in flight on worker threads.  The tunnel
+    # /PCIe link serializes work issued from ONE thread, but transfers
+    # and kernels issued from DIFFERENT threads multiplex — so worker i's
+    # upload rides under worker j's device compute.  Each worker owns its
+    # batch end-to-end (pack -> upload+dispatch -> download -> decode to
+    # rows); the main thread writes results in submission order, which
+    # keeps the output deterministic (sync_out analog,
+    # hixf/search/sync_out.hpp).
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
+    def process(chunk):
         t0 = time.perf_counter()
-        _drain(pending, index, scheme, thresholder, dfs_rank, write_rows)
-        compute += time.perf_counter() - t0
+        prepared = prepare(chunk)
+        if prepared[0] == "e2e":
+            _, chunk, seqs, packed, lengths = prepared
+            collect = device_hixf.e2e_async(packed, lengths, scheme,
+                                            thresholder)
+            vals, users, counts, n_emit, hcap = collect()
+            all_pairs, hash_counts = _pairs_from_e2e(
+                vals, users, counts, n_emit, seqs, index, scheme,
+                thresholder, dfs_rank, hcap)
+        else:
+            _, chunk, hash_lists, hash_counts, thresholds = prepared
+            kind, collect = _device_dispatch(device_hixf, hash_lists,
+                                             thresholds)
+            if kind == "topk":
+                vals, users = collect()
+                all_pairs = _pairs_from_topk(
+                    vals, users, thresholds, hash_lists, index, dfs_rank)
+            else:
+                counts, emitted = collect()
+                all_pairs = _pairs_from_counts(counts, emitted, dfs_rank)
+        rows = []
+        for rec, hc, pairs in zip(chunk, hash_counts, all_pairs):
+            rows.append(
+                _format_rows(rec.id, len(rec.seq), hc, pairs, index, ub2sp)
+            )
+        return "".join(rows), time.perf_counter() - t0
+
+    depth = max(1, config.pipeline_depth)
+    t_start = time.perf_counter()
+    with ThreadPoolExecutor(depth) as ex:
+        q: deque = deque()
+        t_io = time.perf_counter()
+        for chunk in iter_fastx_chunks(query_file, config.batch_size):
+            reads_io += time.perf_counter() - t_io
+            q.append(ex.submit(process, chunk))
+            if len(q) >= depth:
+                rows, _ = q.popleft().result()
+                out_handle.write(rows)
+            t_io = time.perf_counter()
+        while q:
+            rows, _ = q.popleft().result()
+            out_handle.write(rows)
+    compute = (time.perf_counter() - t_start) - reads_io
     return {"reads_io": reads_io, "compute": compute}
-
-
-def _drain(pending, index, scheme, thresholder, dfs_rank, write_rows):
-    if pending[0] == "e2e":
-        _, chunk, seqs, collect = pending
-        vals, users, counts, hcap = collect()
-        all_pairs, hash_counts = _pairs_from_e2e(
-            vals, users, counts, seqs, index, scheme, thresholder,
-            dfs_rank, hcap
-        )
-        write_rows(chunk, hash_counts, all_pairs)
-        return
-    _, chunk, hash_counts, thresholds, (kind, collect), hash_lists = pending
-    if kind == "topk":
-        vals, users = collect()
-        all_pairs = _pairs_from_topk(
-            vals, users, thresholds, hash_lists, index, dfs_rank
-        )
-    else:
-        counts, emitted = collect()
-        all_pairs = _pairs_from_counts(counts, emitted, dfs_rank)
-    write_rows(chunk, hash_counts, all_pairs)
 
 
 def _device_dispatch(device_hixf, hash_lists, thresholds):
@@ -247,23 +265,23 @@ def _device_dispatch(device_hixf, hash_lists, thresholds):
     return "dense", device_hixf.counts_async(hashes, mask, thresholds)
 
 
-def _pairs_from_e2e(vals, users, counts, seqs, index, scheme, thresholder,
-                    dfs_rank, hcap):
+def _pairs_from_e2e(vals, users, counts, n_emit, seqs, index, scheme,
+                    thresholder, dfs_rank, hcap):
     """Decode the fused end-to-end device result (device/e2e.py).
 
     Device returns top-k RAW run sums; this applies the per-read
     threshold (exact host float64 — no device float math in the parity
     path) and detects the two truncation cases that need the host
-    oracle: unique hashes overflowing the device hash capacity (hcap is
-    the capacity the device step actually used — passed through the
-    collector so the two can never disagree), and all k candidate slots
-    surviving the threshold + 0.8*max pre-filter."""
+    oracle: raw emissions overflowing the device hash capacity (n_emit
+    counts pre-dedup emissions — duplicates can push unique k-mers past
+    the hcap slice even when counts <= hcap; hcap is the capacity the
+    device step actually used, passed through the collector so the two
+    can never disagree), and all k candidate slots surviving the
+    threshold + 0.8*max pre-filter."""
     from ..hash.schemes import search_hashes
 
     k_sch = scheme.kmer_size
     kk = vals.shape[1]
-    pairs_per_read = []
-    hash_counts = []
 
     def host_fallback(seq):
         hl = search_hashes([seq], scheme)[0]
@@ -271,32 +289,61 @@ def _pairs_from_e2e(vals, users, counts, seqs, index, scheme, thresholder,
         thr = _read_threshold(thresholder, hc, len(seq), k_sch)
         return index.hixf.membership(hl, int(thr)), hc
 
+    # Vectorized decode: per-read numpy scalar ops cost ~15us/read in
+    # Python (GIL-bound — it throttled every pipeline worker at once),
+    # so everything batch-wide runs as whole-array numpy here and the
+    # residual Python loop only assembles output tuples.
+    Rs = len(seqs)  # device rows may include batch padding — drop it
+    counts = np.asarray(counts, dtype=np.int64)[:Rs]
+    n_emit = np.asarray(n_emit, dtype=np.int64)[:Rs]
+    vals = np.asarray(vals, dtype=np.int64)[:Rs]
+    users = np.asarray(users, dtype=np.int64)[:Rs]
+    lens = np.fromiter((len(s) for s in seqs), dtype=np.int64,
+                       count=len(seqs))
+    # threshold per read, memoized on (hash_count, read_len) — the only
+    # inputs the models consume; exact host float64 math
+    thr_cache = getattr(thresholder, "_e2e_thr_cache", None)
+    if thr_cache is None:
+        thr_cache = thresholder._e2e_thr_cache = {}
+    thr = np.empty(len(seqs), dtype=np.int64)
+    for r, key in enumerate(zip(counts.tolist(), lens.tolist())):
+        t = thr_cache.get(key)
+        if t is None:
+            t = thr_cache[key] = _read_threshold(
+                thresholder, key[0], key[1], k_sch)
+        thr[r] = t
+    ok = (vals >= thr[:, None]) & (users >= 0)
+    n = ok.sum(axis=1)  # vals descending => ok is a prefix
+    f64 = np.float64
+    trunc = (n == kk) & (
+        vals[:, kk - 1].astype(f64) >= vals[:, 0].astype(f64) * 0.8)
+    need_fallback = (n_emit > hcap) | trunc
+    # dfs ordering of the candidate slots (argsort only for multi-hit
+    # reads; single-hit reads — the common case — skip it)
+    vals_l = vals.tolist()
+    users_l = users.tolist()
+    n_l = n.tolist()
+    counts_l = counts.tolist()
+    fb_l = need_fallback.tolist()
+    pairs_per_read = []
+    hash_counts = []
     for r, seq in enumerate(seqs):
-        c = int(counts[r])
-        if c > hcap:  # device hash buffer overflowed (adversarial reads)
+        if fb_l[r]:
             pairs, hc = host_fallback(seq)
             pairs_per_read.append(pairs)
             hash_counts.append(hc)
             continue
-        thr = _read_threshold(thresholder, c, len(seq), k_sch)
-        n = 0
-        while n < kk and users[r, n] >= 0 and vals[r, n] >= thr:
-            n += 1
-        if n == 0:
+        nn = n_l[r]
+        if nn == 0:
             pairs_per_read.append([])
-            hash_counts.append(c)
-            continue
-        if n == kk and float(vals[r, kk - 1]) >= float(vals[r, 0]) * 0.8:
-            pairs, hc = host_fallback(seq)  # candidates may be truncated
-            pairs_per_read.append(pairs)
-            hash_counts.append(hc)
-            continue
-        u = users[r, :n]
-        order = np.argsort(dfs_rank[u], kind="stable")
-        pairs_per_read.append(
-            [(int(u[i]), int(vals[r, i])) for i in order]
-        )
-        hash_counts.append(c)
+        elif nn == 1:
+            pairs_per_read.append([(users_l[r][0], vals_l[r][0])])
+        else:
+            u = users[r, :nn]
+            order = np.argsort(dfs_rank[u], kind="stable")
+            vr, ur = vals_l[r], users_l[r]
+            pairs_per_read.append([(ur[i], vr[i]) for i in order])
+        hash_counts.append(counts_l[r])
     return pairs_per_read, hash_counts
 
 

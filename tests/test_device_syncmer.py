@@ -8,12 +8,14 @@ import numpy as np
 import pytest
 
 from taxor_tpu.hash.device_syncmer import (
+    dedup_kmers,
     dedup_sorted,
     hash_cap,
     pack_reads,
     pad_len_bucket,
     supports,
     syncmer_emit,
+    syncmer_kmers,
 )
 from taxor_tpu.hash.schemes import HashScheme
 from taxor_tpu.hash.syncmer import syncmer_hashes_batch
@@ -70,6 +72,34 @@ def _device_sets(reads, k, s, t):
     return out
 
 
+def _device_sets_kmer_dedup(reads, k, s, t):
+    """The production fused-step path: dedup raw k-mers, hash the
+    compacted slice (device/e2e.py order of operations)."""
+    import jax.numpy as jnp
+
+    from taxor_tpu.utils.u64jnp import wyhash64
+
+    L = pad_len_bucket(max(len(r) for r in reads))
+    packed, lengths = pack_reads(reads, L)
+    khi, klo, emit = syncmer_kmers(
+        jnp.asarray(packed), jnp.asarray(lengths), k, s, t
+    )
+    hcap = hash_cap(L)
+    chi, clo, valid, n_unique, n_emit = dedup_kmers(khi, klo, emit, hcap)
+    hi, lo = wyhash64(chi, clo)
+    hi, lo = np.asarray(hi), np.asarray(lo)
+    valid = np.asarray(valid)
+    n_unique, n_emit = np.asarray(n_unique), np.asarray(n_emit)
+    out = []
+    for r in range(len(reads)):
+        assert n_emit[r] <= hcap and n_unique[r] <= n_emit[r]
+        h = (hi[r, valid[r]].astype(np.uint64) << np.uint64(32)) | \
+            lo[r, valid[r]].astype(np.uint64)
+        assert h.shape[0] == n_unique[r]
+        out.append(np.sort(h))
+    return out
+
+
 @pytest.mark.parametrize("k,s", [(16, 8), (22, 12), (30, 14), (20, 4)])
 def test_matches_host_scanner(k, s):
     rng = np.random.default_rng(k * 100 + s)
@@ -78,6 +108,10 @@ def test_matches_host_scanner(k, s):
     host = _host_sets(reads, k, s, t)
     dev = _device_sets(reads, k, s, t)
     for r, (a, b) in enumerate(zip(host, dev)):
+        assert a.shape == b.shape, f"read {r}: {a.shape} vs {b.shape}"
+        assert (a == b).all(), f"read {r}"
+    dev2 = _device_sets_kmer_dedup(reads, k, s, t)
+    for r, (a, b) in enumerate(zip(host, dev2)):
         assert a.shape == b.shape, f"read {r}: {a.shape} vs {b.shape}"
         assert (a == b).all(), f"read {r}"
 

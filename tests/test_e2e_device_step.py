@@ -74,14 +74,15 @@ def test_fused_step_matches_host_oracle(flat_setup):
         bin_tile4=choose_bin_tile4(*fp.shape),
         interpret=True,
     ))[: len(reads)]
-    vals, ubs, counts = out[:, :16], out[:, 16:32], out[:, 32]
+    vals, ubs, counts, n_emit = (out[:, :16], out[:, 16:32],
+                                 out[:, 32], out[:, 33])
 
     thresholder = Thresholder.make(scheme.kmer_size, scheme.window_size,
                                    0.04, -1.0, scheme.use_syncmer)
     dfs_rank = hixf.user_bin_dfs_order()
     pairs, hash_counts = _pairs_from_e2e(
-        vals, ubs, counts, reads, index, scheme, thresholder, dfs_rank,
-        hcap
+        vals, ubs, counts, n_emit, reads, index, scheme, thresholder,
+        dfs_rank, hcap
     )
 
     host_hl = search_hashes(reads, scheme)
@@ -128,15 +129,16 @@ def test_hcap_overflow_triggers_host_fallback(flat_setup):
         hcap=hcap, topk=16, bin_tile4=choose_bin_tile4(*fp.shape),
         interpret=True,
     ))[: len(reads)]
-    vals, ubs, counts = out[:, :16], out[:, 16:32], out[:, 32]
-    assert (counts > hcap).all()  # device reports the TRUE unique count
+    vals, ubs, counts, n_emit = (out[:, :16], out[:, 16:32],
+                                 out[:, 32], out[:, 33])
+    assert (n_emit > hcap).all()  # device reports the TRUE emission count
 
     thresholder = Thresholder.make(scheme.kmer_size, scheme.window_size,
                                    0.04, -1.0, scheme.use_syncmer)
     dfs_rank = hixf.user_bin_dfs_order()
     pairs, hash_counts = _pairs_from_e2e(
-        vals, ubs, counts, reads, index, scheme, thresholder, dfs_rank,
-        hcap
+        vals, ubs, counts, n_emit, reads, index, scheme, thresholder,
+        dfs_rank, hcap
     )
     host_hl = search_hashes(reads, scheme)
     for r, seq in enumerate(reads):
@@ -145,3 +147,26 @@ def test_hcap_overflow_triggers_host_fallback(flat_setup):
         thr = _read_threshold(thresholder, hl.shape[0], len(seq),
                               scheme.kmer_size)
         assert pairs[r] == hixf.membership(hl, thr)
+
+
+def test_decode_ignores_batch_padding(flat_setup):
+    """The pipeline pads the final chunk to the batch size; the decoder
+    must slice device rows down to the real read count (regression: the
+    vectorized decode broadcast [Rpad, k] against [R] thresholds)."""
+    index, reads = flat_setup
+    scheme = index.scheme
+    hixf = index.hixf
+    thresholder = Thresholder.make(scheme.kmer_size, scheme.window_size,
+                                   0.04, -1.0, scheme.use_syncmer)
+    dfs_rank = hixf.user_bin_dfs_order()
+    R, kk, hcap = len(reads), 16, 512
+    pad = 7
+    vals = -np.ones((R + pad, kk), dtype=np.int32)
+    users = -np.ones((R + pad, kk), dtype=np.int32)
+    counts = np.zeros(R + pad, dtype=np.int32)
+    n_emit = np.zeros(R + pad, dtype=np.int32)
+    pairs, hash_counts = _pairs_from_e2e(
+        vals, users, counts, n_emit, reads, index, scheme, thresholder,
+        dfs_rank, hcap)
+    assert len(pairs) == R and len(hash_counts) == R
+    assert all(p == [] for p in pairs)

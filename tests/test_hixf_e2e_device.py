@@ -50,12 +50,12 @@ def test_hier_fused_matches_host(hier_setup, percentage):
 
     L = dsync.pad_len_bucket(max(len(r) for r in reads))
     packed, lengths = dsync.pack_reads(reads, L)
-    vals, users, counts, hcap = dhixf.e2e_async(
+    vals, users, counts, n_emit, hcap = dhixf.e2e_async(
         packed, lengths, scheme, thresholder)()
     dfs_rank = index.hixf.user_bin_dfs_order()
     pairs, hash_counts = _pairs_from_e2e(
-        vals, users, counts, reads, index, scheme, thresholder, dfs_rank,
-        hcap
+        vals, users, counts, n_emit, reads, index, scheme, thresholder,
+        dfs_rank, hcap
     )
     def final_rows(prs):
         """The reference's emission after the 0.8*max filter
