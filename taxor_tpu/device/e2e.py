@@ -23,7 +23,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..hash.device_syncmer import dedup_kmers, syncmer_kmers
+from ..hash.device_syncmer import (dedup_kmers, emission_min_gap,
+                                   syncmer_kmers)
 from ..utils.u64jnp import probe_positions_and_fprint4, wyhash64
 from .pallas_probe import _HASH_UNROLL, _body_counts, _probe_call
 
@@ -59,7 +60,7 @@ def make_hixf_e2e_fn(dixfs, tree_children, leaf_runs, leaf_users,
         R = packed_reads.shape[0]
         k_hi, k_lo, emit = syncmer_kmers(packed_reads, lengths, k, s, t)
         khi_c, klo_c, valid, n_unique, n_emit = dedup_kmers(
-            k_hi, k_lo, emit, hcap)
+            k_hi, k_lo, emit, hcap, emission_min_gap(k, s, t))
         hi, lo = wyhash64(khi_c, klo_c)
         thr = thr_table[jnp.clip(n_unique, 0, thr_table.shape[0] - 1)]
         bodies = _body_counts(valid)[:, 0, 0]
@@ -133,7 +134,7 @@ def fused_e2e_step(
     R = raw_reads.shape[0]
     k_hi, k_lo, emit = syncmer_kmers(raw_reads, lengths, k, s, t)
     khi_c, klo_c, valid, n_unique, n_emit = dedup_kmers(
-        k_hi, k_lo, emit, hcap)
+        k_hi, k_lo, emit, hcap, emission_min_gap(k, s, t))
     hi, lo = wyhash64(khi_c, klo_c)
     pos, f4 = probe_positions_and_fprint4(hi, lo, seed_hi, seed_lo,
                                           block_length)

@@ -44,14 +44,15 @@ _B3 = -16777216  # 0xFF000000 as int32
 _READ_TILE = 16
 # inner unroll over hashes: independent dependency chains hide VMEM load
 # latency
-_HASH_UNROLL = 4
+_HASH_UNROLL = 8
 
 
 _LOW7 = 0x7F7F7F7F
 # 0x80808080 as int32
 _SIGN = -2139062144
-# flush the packed byte counters every 63 bodies (252 hashes < 256)
-_FLUSH_BODIES = 63
+# flush the packed byte counters before any lane can reach 256 hits
+# (bodies * _HASH_UNROLL hashes < 256)
+_FLUSH_BODIES = 255 // _HASH_UNROLL
 
 
 def _kernel(pos_ref, fpr_ref, cnt_ref, fp_ref, out_ref):

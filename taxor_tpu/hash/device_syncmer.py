@@ -183,6 +183,60 @@ def _rolling_kmers(codes, k: int):
 _SCAN_CHUNK = 16
 
 
+def _sliding_rightmost_min(ys, w: int):
+    """(rm_val, rm_end) per END position i: value and end-index of the
+    RIGHTMOST minimum of ys[:, i-w+1 .. i] (ties keep the larger index,
+    matching syncmer.cpp:128-136's right-to-left strict-< scan).  Junk
+    for i < w-1.  Van Herk/Gil-Werman: per-block prefix/suffix argmin
+    scans, window = combine(suffix[i-w+1], prefix[i]); all ops VPU-wide.
+    """
+    R, L = ys.shape
+    nb = (L + w - 1) // w
+    Lp = nb * w
+    ysp = ys if Lp == L else jnp.pad(
+        ys, ((0, 0), (0, Lp - L)), constant_values=np.uint32(_UMAX32))
+    blocks = ysp.reshape(R, nb, w)
+    base = jnp.broadcast_to(
+        (w * jnp.arange(nb, dtype=jnp.int32))[None, :], (R, nb))
+    # prefix: rightmost argmin of block[.., :j+1] -> take on <= (a tie
+    # moves right)
+    pv, pe = blocks[:, :, 0], base
+    pvs, pes = [pv], [pe]
+    for j in range(1, w):
+        bj = blocks[:, :, j]
+        take = bj <= pv
+        pv = jnp.where(take, bj, pv)
+        pe = jnp.where(take, base + j, pe)
+        pvs.append(pv)
+        pes.append(pe)
+    prefix_val = jnp.stack(pvs, 2).reshape(R, Lp)
+    prefix_end = jnp.stack(pes, 2).reshape(R, Lp)
+    # suffix: rightmost argmin of block[.., j:] -> take on strict < (the
+    # incumbent right element keeps ties)
+    sv, se = blocks[:, :, w - 1], base + (w - 1)
+    svs, ses = [sv], [se]
+    for j in range(w - 2, -1, -1):
+        bj = blocks[:, :, j]
+        take = bj < sv
+        sv = jnp.where(take, bj, sv)
+        se = jnp.where(take, base + j, se)
+        svs.append(sv)
+        ses.append(se)
+    suffix_val = jnp.stack(svs[::-1], 2).reshape(R, Lp)
+    suffix_end = jnp.stack(ses[::-1], 2).reshape(R, Lp)
+    # window [a, i], a = i-w+1: suffix covers [a, block_end(a)], prefix
+    # covers [block_start(i), i]; prefix indices are the larger ones, so
+    # prefix wins ties (<=)
+    zpad = ((0, 0), (w - 1, 0))
+    suf_v = jnp.pad(suffix_val, zpad,
+                    constant_values=np.uint32(_UMAX32))[:, :Lp]
+    suf_e = jnp.pad(suffix_end, zpad)[:, :Lp]
+    take_p = prefix_val <= suf_v
+    rm_val = jnp.where(take_p, prefix_val, suf_v)
+    rm_end = jnp.where(take_p, prefix_end, suf_e)
+    return rm_val[:, :L], rm_end[:, :L]
+
+
 @functools.partial(jax.jit, static_argnames=("k", "s", "t"))
 def syncmer_kmers(packed_reads, lengths, k: int, s: int, t: int):
     """Emission mask + canonical k-mer value for every base position.
@@ -198,12 +252,24 @@ def syncmer_kmers(packed_reads, lengths, k: int, s: int, t: int):
     ys = _rolling_smers(codes, s)  # [R, L] canonical smers (end-indexed)
     khi, klo = _rolling_kmers(codes, k)
 
-    ys_t = ys.T  # [L, R]: scan axis leading
-    # pad so the last chunk's dynamic_slice never clamps (clamping would
-    # shift the window of the real trailing positions); padded rows are
-    # only touched by overrun steps whose emits are discarded
-    ys_t = jnp.concatenate(
-        [ys_t, jnp.full((_SCAN_CHUNK, R), _UMAX32, dtype=jnp.uint32)]
+    # Sliding rightmost-min of every window, PRECOMPUTED in parallel
+    # (van Herk/Gil-Werman) — the only part of the reference tracker
+    # that is not a pure function of the current window is WHEN the
+    # recomputation applies, so the sequential scan below shrinks to the
+    # ~10-op carry update while the w-element min scans run VPU-wide.
+    rm_val, rm_end = _sliding_rightmost_min(ys, w)
+
+    CH = _SCAN_CHUNK
+    # pad columns so the last chunk's dynamic_slice never clamps
+    # (clamping would shift the columns seen by the real trailing
+    # positions); padded columns are only touched by overrun steps whose
+    # emits are discarded.  Reads stay the minor (lane) axis — no
+    # [R, L] transposes.
+    pad_cols = jnp.full((R, CH), _UMAX32, dtype=jnp.uint32)
+    ys_p = jnp.concatenate([ys, pad_cols], axis=1)  # [R, L+CH]
+    rm_val_p = jnp.concatenate([rm_val, pad_cols], axis=1)
+    rm_end_p = jnp.concatenate(
+        [rm_end, jnp.zeros((R, CH), dtype=jnp.int32)], axis=1
     )
 
     # first full window: k-mer ends at i0 = k-1; ordered s-mers end at
@@ -211,58 +277,47 @@ def syncmer_kmers(packed_reads, lengths, k: int, s: int, t: int):
     lmv = jnp.full((R,), _UMAX32, dtype=jnp.uint32)
     lmj = jnp.zeros((R,), dtype=jnp.int32)
     for j in range(w):
-        take = ys_t[s - 1 + j] < lmv
-        lmv = jnp.where(take, ys_t[s - 1 + j], lmv)
+        col = ys[:, s - 1 + j]
+        take = col < lmv
+        lmv = jnp.where(take, col, lmv)
         lmj = jnp.where(take, jnp.int32(j), lmj)
     qmin_val0 = lmv
     qmin_pos0 = lmj  # absolute smer start = (k-1)-k+1+j = j
     emit0 = qmin_pos0 == jnp.int32(t - 1)  # i0-k+t = t-1
 
-    def substep(carry, win, i):
-        """One base position: window = smers ending at i-w+1 .. i
-        ([w, R] static slice of the chunk)."""
-        qmin_val, qmin_pos = carry
-        ys_new = win[w - 1]
-        popped = qmin_pos == (i - k)  # the evicted smer held the min
-        # rightmost minimum, strict < scanning right-to-left
-        # (syncmer.cpp:128-136)
-        rmv = jnp.full((R,), _UMAX32, dtype=jnp.uint32)
-        rmj = jnp.zeros((R,), dtype=jnp.int32)
-        for j in range(w - 1, -1, -1):
-            take = win[j] < rmv
-            rmv = jnp.where(take, win[j], rmv)
-            rmj = jnp.where(take, jnp.int32(j), rmj)
-        newer = (~popped) & (ys_new < qmin_val)
-        qmin_val = jnp.where(popped, rmv,
-                             jnp.where(newer, ys_new, qmin_val))
-        qmin_pos = jnp.where(popped, i - k + 1 + rmj,
-                             jnp.where(newer, i - s + 1, qmin_pos))
-        emit_i = qmin_pos == (i - k + t)
-        return (qmin_val, qmin_pos), emit_i
-
-    CH = _SCAN_CHUNK
-
     def chunk_step(carry, i0):
         # one HBM slice per chunk; the CH inner steps use static slices
-        blk = jax.lax.dynamic_slice(ys_t, (i0 - w + 1, 0), (CH + w - 1, R))
+        blky = jax.lax.dynamic_slice(ys_p, (0, i0), (R, CH))
+        blkv = jax.lax.dynamic_slice(rm_val_p, (0, i0), (R, CH))
+        blke = jax.lax.dynamic_slice(rm_end_p, (0, i0), (R, CH))
         emits = []
+        qmin_val, qmin_pos = carry
         for c in range(CH):
-            carry, e = substep(carry, blk[c : c + w], i0 + c)
-            emits.append(e)
-        return carry, jnp.stack(emits)  # [CH, R]
+            i = i0 + c
+            # the evicted smer held the min -> rightmost window min
+            # (syncmer.cpp:128-136, precomputed)
+            popped = qmin_pos == (i - k)
+            newer = (~popped) & (blky[:, c] < qmin_val)
+            qmin_val = jnp.where(popped, blkv[:, c],
+                                 jnp.where(newer, blky[:, c], qmin_val))
+            qmin_pos = jnp.where(
+                popped, blke[:, c] - jnp.int32(s - 1),
+                jnp.where(newer, i - s + 1, qmin_pos))
+            emits.append(qmin_pos == (i - k + t))
+        return (qmin_val, qmin_pos), jnp.stack(emits, axis=1)  # [R, CH]
 
     n_steps = max(0, L - k)
     if n_steps:
         nb = (n_steps + CH - 1) // CH
-        # overrun steps read clamped slices (garbage) — their emits are
+        # overrun steps read padded columns (garbage) — their emits are
         # sliced away below and they only run after all real positions,
         # so the carry they corrupt is never used
         starts = k + CH * jnp.arange(nb, dtype=jnp.int32)
         (_, _), emits = jax.lax.scan(
             chunk_step, (qmin_val0, qmin_pos0), starts
-        )  # [nb, CH, R]
-        emits = emits.reshape(nb * CH, R)[:n_steps]
-        emit = jnp.concatenate([emit0[None, :], emits], axis=0).T
+        )  # [nb, R, CH]
+        emits = jnp.moveaxis(emits, 0, 1).reshape(R, nb * CH)[:, :n_steps]
+        emit = jnp.concatenate([emit0[:, None], emits], axis=1)
     else:
         emit = emit0[:, None]
     # align: emit[:, j] corresponds to k-mer ending at base k-1+j
@@ -282,8 +337,66 @@ def syncmer_emit(packed_reads, lengths, k: int, s: int, t: int):
     return h_hi, h_lo, emit
 
 
-@functools.partial(jax.jit, static_argnames=("hcap",))
-def dedup_kmers(khi, klo, emit, hcap: int):
+def emission_min_gap(k: int, s: int, t: int) -> int:
+    """Guaranteed minimum distance between consecutive open-syncmer
+    emissions, any input.
+
+    The tracker's holder position only moves right: a 'newer' event sets
+    it to the window's right edge (offset w), a pop re-selects within the
+    advanced window.  An emission at position i pins the holder at
+    absolute s-mer start i-k+t, so the next emission — whose holder must
+    sit t-1 from the NEW window start — needs the holder to advance:
+    via a pop (the pinned holder exits after >= t more steps) or via a
+    newer event (right edge reaches offset t only after w-t+1 steps).
+    Hence gap >= min(t, w-t+1) for 2 <= t <= w-1; the degenerate offsets
+    t==1 (pop chains) and t==w (newer chains) can emit every position."""
+    w = k - s + 1
+    if t < 2 or t > w - 1:
+        return 1
+    return min(t, w - t + 1)
+
+
+_COMPACT_BLOCK = 16
+
+
+def _block_compact(khi, klo, emit, min_gap: int):
+    """Exact lossless pre-sort compaction: with emissions >= min_gap
+    apart, a B-position block holds at most floor((B-1)/gap)+1 of them,
+    so each block's emitted k-mers collapse into E static slots (selects
+    on [R, L/B] tiles — no scatter).  Returns (chi, clo) of width
+    (L/B)*E with all-ones sentinels in unused slots, or None when the
+    gap buys nothing."""
+    B = _COMPACT_BLOCK
+    E = (B - 1) // max(1, min_gap) + 1
+    R, L = khi.shape
+    if min_gap < 2 or L % B or E * 2 > B:
+        return None
+    nb = L // B
+    vhi = khi.reshape(R, nb, B)
+    vlo = klo.reshape(R, nb, B)
+    m = emit.reshape(R, nb, B)
+    sent = jnp.uint32(_UMAX32)
+    out_hi = [jnp.full((R, nb), sent) for _ in range(E)]
+    out_lo = [jnp.full((R, nb), sent) for _ in range(E)]
+    cnt = jnp.zeros((R, nb), dtype=jnp.int32)
+    for j in range(B):
+        mj = m[:, :, j]
+        for e in range(E):
+            take = mj & (cnt == e)
+            out_hi[e] = jnp.where(take, vhi[:, :, j], out_hi[e])
+            out_lo[e] = jnp.where(take, vlo[:, :, j], out_lo[e])
+        cnt = cnt + mj.astype(jnp.int32)
+    chi = jnp.stack(out_hi, axis=2).reshape(R, nb * E)
+    clo = jnp.stack(out_lo, axis=2).reshape(R, nb * E)
+    # defensive: a block exceeding E emissions would drop k-mers
+    # silently (impossible per the gap theorem; routes the read to the
+    # host-oracle fallback if it ever happens)
+    overflow = (cnt > E).any(axis=1)
+    return chi, clo, overflow
+
+
+@functools.partial(jax.jit, static_argnames=("hcap", "min_gap"))
+def dedup_kmers(khi, klo, emit, hcap: int, min_gap: int = 1):
     """Sort each read's emitted CANONICAL K-MERS, mask duplicates, slice
     to [R, hcap].  Returns (khi, klo, valid, n_unique, n_emit).
 
@@ -301,17 +414,33 @@ def dedup_kmers(khi, klo, emit, hcap: int):
     n_emit is the pre-dedup emission count: n_emit > hcap means unique
     k-mers may sit beyond the slice, so callers must fall back to the
     host oracle for that read (n_unique alone can miss truncation —
-    duplicates can push uniques past hcap)."""
+    duplicates can push uniques past hcap).
+
+    min_gap (emission_min_gap(k, s, t)) enables the exact block
+    compaction, shrinking the sorted width ~min(min_gap, 4)x — the sort
+    is the dominant cost of this step."""
+    n_emit = emit.sum(axis=1, dtype=jnp.int32)
     sent = jnp.uint32(_UMAX32)
-    shi = jnp.where(emit, khi, sent)
-    slo = jnp.where(emit, klo, sent)
+    compacted = _block_compact(khi, klo, emit, min_gap)
+    if compacted is not None:
+        shi, slo, overflow = compacted
+        n_emit = jnp.where(overflow, jnp.int32(2**30), n_emit)
+    else:
+        shi = jnp.where(emit, khi, sent)
+        slo = jnp.where(emit, klo, sent)
     shi, slo = jax.lax.sort((shi, slo), dimension=1, num_keys=2)
     prev_hi = jnp.concatenate([~shi[:, :1], shi[:, :-1]], axis=1)
     prev_lo = jnp.concatenate([~slo[:, :1], slo[:, :-1]], axis=1)
     is_sent = (shi == sent) & (slo == sent)
     uniq = ((shi != prev_hi) | (slo != prev_lo)) & ~is_sent
     n_unique = uniq.sum(axis=1, dtype=jnp.int32)
-    n_emit = emit.sum(axis=1, dtype=jnp.int32)
+    if shi.shape[1] < hcap:  # strong compaction: pad back to the
+        # contract width (the gap theorem caps n_emit at the compacted
+        # width, so the padding is never populated)
+        pad = ((0, 0), (0, hcap - shi.shape[1]))
+        shi = jnp.pad(shi, pad, constant_values=np.uint32(_UMAX32))
+        slo = jnp.pad(slo, pad, constant_values=np.uint32(_UMAX32))
+        uniq = jnp.pad(uniq, pad, constant_values=False)
     return (shi[:, :hcap], slo[:, :hcap], uniq[:, :hcap],
             n_unique, n_emit)
 

@@ -73,10 +73,12 @@ def _device_sets(reads, k, s, t):
 
 
 def _device_sets_kmer_dedup(reads, k, s, t):
-    """The production fused-step path: dedup raw k-mers, hash the
-    compacted slice (device/e2e.py order of operations)."""
+    """The production fused-step path: dedup raw k-mers (with the
+    min-gap block compaction), hash the compacted slice (device/e2e.py
+    order of operations)."""
     import jax.numpy as jnp
 
+    from taxor_tpu.hash.device_syncmer import emission_min_gap
     from taxor_tpu.utils.u64jnp import wyhash64
 
     L = pad_len_bucket(max(len(r) for r in reads))
@@ -85,14 +87,18 @@ def _device_sets_kmer_dedup(reads, k, s, t):
         jnp.asarray(packed), jnp.asarray(lengths), k, s, t
     )
     hcap = hash_cap(L)
-    chi, clo, valid, n_unique, n_emit = dedup_kmers(khi, klo, emit, hcap)
+    chi, clo, valid, n_unique, n_emit = dedup_kmers(
+        khi, klo, emit, hcap, emission_min_gap(k, s, t))
     hi, lo = wyhash64(chi, clo)
     hi, lo = np.asarray(hi), np.asarray(lo)
     valid = np.asarray(valid)
     n_unique, n_emit = np.asarray(n_unique), np.asarray(n_emit)
     out = []
     for r in range(len(reads)):
-        assert n_emit[r] <= hcap and n_unique[r] <= n_emit[r]
+        if n_emit[r] > hcap:  # production: host-oracle fallback
+            out.append(None)
+            continue
+        assert n_unique[r] <= n_emit[r]
         h = (hi[r, valid[r]].astype(np.uint64) << np.uint64(32)) | \
             lo[r, valid[r]].astype(np.uint64)
         assert h.shape[0] == n_unique[r]
@@ -112,6 +118,7 @@ def test_matches_host_scanner(k, s):
         assert (a == b).all(), f"read {r}"
     dev2 = _device_sets_kmer_dedup(reads, k, s, t)
     for r, (a, b) in enumerate(zip(host, dev2)):
+        assert b is not None, f"read {r}: unexpected overflow fallback"
         assert a.shape == b.shape, f"read {r}: {a.shape} vs {b.shape}"
         assert (a == b).all(), f"read {r}"
 
@@ -141,3 +148,42 @@ def test_supports_gating():
     assert not supports(HashScheme.make(22, 12, None, False))  # kmer path
     assert not supports(HashScheme.make(22, 16, None, True))  # s too big
     assert not supports(HashScheme.make(22, 12, None, True, scaling=2))
+
+
+@pytest.mark.parametrize("k,s", [(16, 8), (22, 12), (17, 14), (15, 13)])
+def test_min_gap_compaction_adversarial(k, s):
+    """The pre-sort block compaction relies on the emission min-gap
+    theorem (emission_min_gap): verify the device set still matches the
+    host scanner on emission-dense adversarial inputs — homopolymers,
+    short-period repeats (the densest emitters), and near-repeats.
+    (17,14): w=4, t=2 -> gap bound 2 (tightest compacting case);
+    (15,13): w=3, t=1 -> gap 1, compaction disabled, and dense reads
+    legitimately overflow hcap into the host fallback (None).  All
+    combos satisfy supports() (s <= 15: s-mers must fit uint32)."""
+    t = (k - s + 1) // 2
+    rng = np.random.default_rng(k + s)
+    reads = []
+    for period in (1, 2, 3, 5, 7, 11):
+        unit = BASES[rng.integers(0, 4, period)].tobytes()
+        reads.append((unit * (600 // period + 1))[:600])
+    # near-repeats: periodic with sparse random substitutions
+    for period in (2, 5):
+        unit = BASES[rng.integers(0, 4, period)].tobytes()
+        arr = np.frombuffer((unit * (600 // period + 1))[:600],
+                            dtype=np.uint8).copy()
+        pos = rng.integers(0, 600, 20)
+        arr[pos] = BASES[rng.integers(0, 4, 20)]
+        reads.append(arr.tobytes())
+    # strictly decreasing s-mer chains can't be constructed directly,
+    # but descending random blocks stress the 'newer' event path
+    reads.extend(_random_reads(rng, 8, 500, 700))
+    host = _host_sets(reads, k, s, t)
+    dev = _device_sets_kmer_dedup(reads, k, s, t)
+    verified = 0
+    for r, (a, b) in enumerate(zip(host, dev)):
+        if b is None:  # hcap overflow -> host fallback in production
+            continue
+        assert a.shape == b.shape, f"read {r}: {a.shape} vs {b.shape}"
+        assert (a == b).all(), f"read {r}"
+        verified += 1
+    assert verified >= len(reads) // 2

@@ -119,7 +119,8 @@ def test_hcap_overflow_triggers_host_fallback(flat_setup):
     rpad = (-len(reads)) % 16
     packed = np.pad(packed, ((0, rpad), (0, 0)))
     lengths = np.pad(lengths, (0, rpad))
-    hcap = 4  # artificially tiny: every read overflows
+    hcap = 8  # artificially tiny (one _HASH_UNROLL tile): every read
+    # overflows
     out = np.asarray(fused_e2e_step(
         jnp.asarray(fp), jnp.asarray(packed), jnp.asarray(lengths),
         jnp.asarray(onehot), jnp.asarray(users.astype(np.int32)),
