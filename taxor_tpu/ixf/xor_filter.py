@@ -27,11 +27,15 @@ algorithm reference (src/main/xorfilter.hpp):
     chain seed' = murmur64(seed) instead (documented divergence — strictly
     more reproducible, same failure semantics).
 
-Construction here is a *vectorized batch peeling*: each round removes every
-key incident to a degree-1 slot at once (claims are conflict-free because a
-degree-1 slot has exactly one incident key).  This converges to the same
-peelability fixed point as the reference's stack algorithm and assigns
-fingerprints by reverse round order.
+Construction here is a *round-synchronous batch peeling*: each round
+removes every key incident to a degree-1 slot at once (claims are
+conflict-free because a degree-1 slot has exactly one incident key).
+This converges to the same peelability fixed point as the reference's
+stack algorithm and assigns fingerprints by reverse round order.  The
+hot loop has two byte-identical implementations: the C++ core
+(native/xor_peel.cpp, threaded over bins — the framework's counterpart
+of the reference's construct_ixf.cpp native loop, ~15x the numpy speed)
+and the numpy fallback below.
 """
 
 from __future__ import annotations
@@ -137,11 +141,90 @@ class IXF:
         return self.bulk_membership(keys).sum(axis=0)
 
 
+def _build_bins_native(bins, seed: int, block_length: int, slots: int,
+                       threads: int) -> np.ndarray | None:
+    """One construction attempt via the C++ core (native/xor_peel.cpp):
+    fingerprint table on success, None on a peeling failure (caller
+    reseeds) — byte-identical to _build_bins_python.  Returns None also
+    when the native library is unavailable."""
+    import ctypes
+
+    from ..native import get_lib
+
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "ixf_build_bins"):
+        return None
+    n_bins = len(bins)
+    offsets = np.zeros(n_bins + 1, dtype=np.int64)
+    for b, keys in enumerate(bins):
+        offsets[b + 1] = offsets[b] + keys.shape[0]
+    concat = (
+        np.concatenate(bins) if offsets[-1] else np.zeros(0, dtype=U64)
+    )
+    concat = np.ascontiguousarray(concat, dtype=U64)
+    fp = np.zeros((slots, n_bins), dtype=np.uint8)
+    rc = lib.ixf_build_bins(
+        concat.ctypes.data_as(ctypes.c_void_p),
+        offsets.ctypes.data_as(ctypes.c_void_p),
+        n_bins,
+        ctypes.c_ulonglong(seed),
+        block_length,
+        fp.ctypes.data_as(ctypes.c_void_p),
+        n_bins,
+        max(1, threads),
+    )
+    return fp if rc < 0 else None
+
+
+def _build_bins_python(bins, seed: int, block_length: int,
+                       slots: int) -> np.ndarray | None:
+    """One construction attempt in numpy (fallback + oracle for the
+    native core): fingerprint table, or None on peeling failure."""
+    n_bins = len(bins)
+    fp = np.zeros((slots, n_bins), dtype=np.uint8)
+    for b, keys in enumerate(bins):
+        if keys.shape[0] == 0:
+            continue
+        pos, fpr, _ = compute_probes(keys, seed, block_length)
+        # Keys colliding on all 3 probe slots are jointly unsatisfiable
+        # (one fingerprint cell chain cannot encode two different
+        # fingerprints) and would force a full-IXF reseed every time a
+        # single pair collides anywhere — hopeless for thousands of
+        # bins.  Documented divergence: keep the first key of each
+        # triple, drop the rest (the dropped key false-negatives in
+        # this bin with probability ~n/bl^3 per key, negligible for
+        # count-based classification).
+        _, first_idx = np.unique(pos, axis=0, return_index=True)
+        if first_idx.shape[0] != keys.shape[0]:
+            keep = np.sort(first_idx)
+            pos = pos[keep]
+            fpr = fpr[keep]
+        rounds = _peel_bin(pos)
+        if rounds is None:
+            return None
+        # Reverse assignment (xorfilter.hpp:308-328), one vectorized
+        # fill per peel round.  Within a round claims are distinct and
+        # no key's other slots are claimed in the same round, so the
+        # reads never see same-round writes; the claimed slot itself is
+        # still 0, so XOR-ing all three probe slots equals the
+        # reference's "skip the found slot" formula.
+        for kidx, claimed in reversed(rounds):
+            fp[claimed, b] = (
+                fpr[kidx]
+                ^ fp[pos[kidx, 0], b]
+                ^ fp[pos[kidx, 1], b]
+                ^ fp[pos[kidx, 2], b]
+            )
+    return fp
+
+
 def build_ixf(
     per_bin_keys: list[np.ndarray],
     max_elements_per_bin: int | None = None,
     seed: int = XOR_SEED0,
     max_retries: int = 64,
+    threads: int = 0,
+    force_python: bool = False,
 ) -> IXF:
     """Construct an IXF holding each bin's uint64 key set.
 
@@ -149,57 +232,44 @@ def build_ixf(
     (construct_ixf.cpp:35-47) and {bin_count, max_elements} sizing
     (construct_ixf.cpp:28,58).  All bins share geometry and seed; a peeling
     failure in any bin retries the whole filter with the next seed.
+
+    The hot loop runs in the C++ core (native/xor_peel.cpp, threaded
+    over bins — the analog of the reference's construct_ixf +
+    add_bin_elements), falling back to the byte-identical numpy batch
+    peeler when no compiler is available (or force_python=True).
     """
+    if threads <= 0:
+        import os
+
+        threads = os.cpu_count() or 1
     bins = [np.unique(np.asarray(b, dtype=U64)) for b in per_bin_keys]
     if max_elements_per_bin is None:
         max_elements_per_bin = max((b.shape[0] for b in bins), default=0)
     block_length, slots = ixf_geometry(max_elements_per_bin)
     n_bins = len(bins)
+    for b, keys in enumerate(bins):
+        if keys.shape[0] > max_elements_per_bin:
+            raise ValueError(
+                f"bin {b} holds {keys.shape[0]} keys > capacity "
+                f"{max_elements_per_bin}"
+            )
 
     for _ in range(max_retries):
-        fp = np.zeros((slots, n_bins), dtype=np.uint8)
-        ok = True
-        for b, keys in enumerate(bins):
-            if keys.shape[0] == 0:
-                continue
-            if keys.shape[0] > max_elements_per_bin:
-                raise ValueError(
-                    f"bin {b} holds {keys.shape[0]} keys > capacity "
-                    f"{max_elements_per_bin}"
-                )
-            pos, fpr, _ = compute_probes(keys, seed, block_length)
-            # Keys colliding on all 3 probe slots are jointly unsatisfiable
-            # (one fingerprint cell chain cannot encode two different
-            # fingerprints) and would force a full-IXF reseed every time a
-            # single pair collides anywhere — hopeless for thousands of
-            # bins.  Documented divergence: keep the first key of each
-            # triple, drop the rest (the dropped key false-negatives in
-            # this bin with probability ~n/bl^3 per key, negligible for
-            # count-based classification).
-            _, first_idx = np.unique(pos, axis=0, return_index=True)
-            if first_idx.shape[0] != keys.shape[0]:
-                keep = np.sort(first_idx)
-                pos = pos[keep]
-                fpr = fpr[keep]
-            rounds = _peel_bin(pos)
-            if rounds is None:
-                ok = False
-                break
-            # Reverse assignment (xorfilter.hpp:308-328), one vectorized
-            # fill per peel round.  Within a round claims are distinct and
-            # no key's other slots are claimed in the same round, so the
-            # reads never see same-round writes; the claimed slot itself is
-            # still 0, so XOR-ing all three probe slots equals the
-            # reference's "skip the found slot" formula.
-            for kidx, claimed in reversed(rounds):
-                fp[claimed, b] = (
-                    fpr[kidx]
-                    ^ fp[pos[kidx, 0], b]
-                    ^ fp[pos[kidx, 1], b]
-                    ^ fp[pos[kidx, 2], b]
-                )
-        if ok:
-            return IXF(fingerprints=fp, block_length=block_length, seed=seed)
+        if force_python:
+            fp = _build_bins_python(bins, seed, block_length, slots)
+        else:
+            fp = _build_bins_native(bins, seed, block_length, slots,
+                                    threads)
+            if fp is None:  # unavailable OR failed: disambiguate once
+                from ..native import get_lib
+
+                if get_lib() is None or not hasattr(
+                        get_lib(), "ixf_build_bins"):
+                    fp = _build_bins_python(bins, seed, block_length,
+                                            slots)
+        if fp is not None:
+            return IXF(fingerprints=fp, block_length=block_length,
+                       seed=seed)
         seed = int(murmur64(np.uint64(seed)))
     raise RuntimeError(
         f"IXF peeling failed after {max_retries} seeds "

@@ -3,7 +3,8 @@
 The reference implements its host hot loops in C++ (-Ofast, OpenMP); the
 TPU rebuild keeps the device compute in JAX/Pallas and uses C++ for the
 sequential host loops that numpy cannot vectorize well: the syncmer
-scanner (per-base state machine) here, with the XOR peeling planned next.
+scanner (per-base state machine) and the XOR-filter peeling builder
+(the reference's construct_ixf hot loop).
 
 The shared library is compiled on first use with g++ -O3 into a cache
 directory and loaded via ctypes; without a working compiler everything
@@ -32,16 +33,23 @@ def _cache_dir() -> str:
     return d
 
 
+_SOURCES = ("syncmer_scan.cpp", "xor_peel.cpp")
+
+
 def _compile() -> str | None:
-    src = os.path.join(os.path.dirname(__file__), "syncmer_scan.cpp")
-    with open(src, "rb") as fh:
-        digest = hashlib.sha256(fh.read()).hexdigest()[:16]
+    here = os.path.dirname(__file__)
+    srcs = [os.path.join(here, s) for s in _SOURCES]
+    h = hashlib.sha256()
+    for s in srcs:
+        with open(s, "rb") as fh:
+            h.update(fh.read())
+    digest = h.hexdigest()[:16]
     out = os.path.join(_cache_dir(), f"libtaxor_native_{digest}.so")
     if os.path.exists(out):
         return out
     cmd = [
-        "g++", "-O3", "-march=native", "-shared", "-fPIC",
-        "-std=c++17", src, "-o", out + ".tmp",
+        "g++", "-O3", "-march=native", "-shared", "-fPIC", "-pthread",
+        "-std=c++17", *srcs, "-o", out + ".tmp",
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
@@ -72,6 +80,12 @@ def get_lib():
             lib.pack_reads_2bit.argtypes = [
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long,
                 ctypes.c_long, ctypes.c_void_p,
+            ]
+            lib.ixf_build_bins.restype = ctypes.c_long
+            lib.ixf_build_bins.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long,
+                ctypes.c_ulonglong, ctypes.c_long, ctypes.c_void_p,
+                ctypes.c_long, ctypes.c_int,
             ]
             lib.syncmer_scan_batch.restype = None
             lib.syncmer_scan_batch.argtypes = [
