@@ -231,15 +231,86 @@ class DeviceHIXF:
         flat always qualifies (thresholds applied on host); hierarchical
         needs every IXF on the Pallas engine plus a count-only threshold
         model (percentage / syncmer table) for the exact device descent
-        table."""
+        table.  With a mesh, the flat fused step runs bin-sharded under
+        shard_map (sharding.sharded_e2e_fn)."""
         if self.mesh is not None:
-            return False
+            import jax
+
+            return len(self.ixfs) == 1 and (
+                jax.default_backend() == "tpu"
+                or getattr(self, "_interpret", False))
         if not all(d.engine == "pallas" for d in self.ixfs):
             return False
         if len(self.ixfs) == 1:
             return True
         return thresholder is not None and thresholder.kind in (
             "percentage", "syncmer_model")
+
+    def _sharded_e2e_async(self, raw_reads, lengths, scheme, k: int):
+        """Flat fused search over the (reads x bins) mesh: extraction
+        data-parallel over all chips, probe bin-sharded, run sums psum'd
+        (sharding.sharded_e2e_fn).  Same collector contract as
+        e2e_async."""
+        from ..hash.device_syncmer import hash_cap
+        from .pallas_probe import _LANE, _READ_TILE, prepare_fingerprints
+        from .sharding import sharded_e2e_fn
+
+        mesh = self.mesh
+        nr, nb = mesh.shape["reads"], mesh.shape["bins"]
+        state = getattr(self, "_sharded_e2e_state", None)
+        if state is None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            ixf = self.hixf.ixfs[0]
+            fp = prepare_fingerprints(ixf.fingerprints)  # [S1, B4]
+            B4 = -(-fp.shape[1] // (_LANE * nb)) * (_LANE * nb)
+            fp = np.pad(fp, ((0, 0), (0, B4 - fp.shape[1])))
+            starts, ends, users = self.hixf.runs_of_ixf(0)
+            onehot = np.zeros((4 * B4, starts.shape[0]), dtype=np.float32)
+            for i, (a, b) in enumerate(zip(starts, ends)):
+                onehot[a:b, i] = 1.0
+            state = self._sharded_e2e_state = dict(
+                fp=jax.device_put(
+                    fp, NamedSharding(mesh, P(None, "bins"))),
+                onehot=jax.device_put(
+                    onehot, NamedSharding(mesh, P("bins", None))),
+                run_users=jnp.asarray(users.astype(np.int32)),
+                seed_hi=jnp.uint32(ixf.seed >> 32),
+                seed_lo=jnp.uint32(ixf.seed & 0xFFFFFFFF),
+                bl=jnp.uint32(ixf.block_length),
+                fns={},
+            )
+        R0 = raw_reads.shape[0]
+        rpad = (-R0) % (nr * nb * _READ_TILE)
+        if rpad:
+            raw_reads = np.pad(raw_reads, ((0, rpad), (0, 0)))
+            lengths = np.pad(lengths, (0, rpad))
+        L = raw_reads.shape[1] * 4
+        hcap = hash_cap(L)
+        fkey = (scheme.kmer_size, scheme.syncmer_size, scheme.t_syncmer,
+                hcap, k)
+        fn = state["fns"].get(fkey)
+        if fn is None:
+            fn = state["fns"][fkey] = sharded_e2e_fn(
+                mesh, k=scheme.kmer_size, s=scheme.syncmer_size,
+                t=scheme.t_syncmer, hcap=hcap, topk=k,
+                interpret=getattr(self, "_interpret", False))
+        packed_dev = fn(
+            state["fp"], jnp.asarray(raw_reads),
+            jnp.asarray(lengths.astype(np.int32)), state["onehot"],
+            state["run_users"], state["seed_hi"], state["seed_lo"],
+            state["bl"])
+        try:
+            packed_dev.copy_to_host_async()
+        except Exception:
+            pass
+
+        def collect():
+            packed = np.asarray(packed_dev)[:R0]
+            return (packed[:, :k], packed[:, k : 2 * k],
+                    packed[:, 2 * k], packed[:, 2 * k + 1], hcap)
+
+        return collect
 
     def _thr_table(self, thresholder, hcap: int) -> np.ndarray:
         """Exact per-hash-count descent thresholds, computed on host with
@@ -304,6 +375,8 @@ class DeviceHIXF:
         from .e2e import fused_e2e_step
         from .pallas_probe import _READ_TILE, choose_bin_tile4
 
+        if self.mesh is not None:
+            return self._sharded_e2e_async(raw_reads, lengths, scheme, k)
         R = raw_reads.shape[0]
         rpad = (-R) % _READ_TILE
         if rpad:

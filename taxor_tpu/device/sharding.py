@@ -71,6 +71,95 @@ def sharded_count_fn(mesh: Mesh):
     return jax.jit(step)
 
 
+def sharded_e2e_fn(mesh: Mesh, k: int, s: int, t: int, hcap: int,
+                   topk: int, interpret: bool = False):
+    """The FULL fused search step (device/e2e.py) over the 2-D mesh —
+    the production multi-chip configuration for flat indexes too large
+    for one chip's HBM (e.g. GTDB-scale, BASELINE.md):
+
+      1. extraction/dedup/wyhash shard over ALL devices (reads split
+         across both mesh axes — every chip extracts a distinct slice),
+      2. one tiled ``all_gather`` over the 'bins' axis re-collects each
+         reads-row group's hashes (ICI; hashes are ~50x smaller than the
+         per-bin count matrix would be),
+      3. every chip probes its OWN bin shard of the interleaved
+         fingerprint matrix with the Pallas kernel,
+      4. run sums contract over the sharded bins axis via ``psum``,
+      5. top-k runs replicated within each reads row.
+
+    Returns a jitted fn(fp_packed, packed_reads, lengths, onehot,
+    run_users, seed_hi, seed_lo, block_length) -> packed int32
+    [R, 2*topk+2] with the same layout as fused_e2e_step.  Caller pads:
+    R to reads*bins*_READ_TILE multiples, bins of fp_packed/onehot to
+    the bins axis, and guarantees hcap % _HASH_UNROLL == 0.
+    """
+    import functools
+
+    from ..hash.device_syncmer import (
+        dedup_kmers,
+        emission_min_gap,
+        syncmer_kmers,
+    )
+    from ..utils.u64jnp import probe_positions_and_fprint4, wyhash64
+    from .pallas_probe import _body_counts, _probe_call, choose_bin_tile4
+
+    gap = emission_min_gap(k, s, t)
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(None, "bins"),          # fp_packed [S+1, B4]
+            P(("reads", "bins"), None),  # packed reads [R, L/4]
+            P(("reads", "bins")),     # lengths [R]
+            P("bins", None),          # onehot [4*B4, n_runs]
+            P(),                      # run_users [n_runs] replicated
+            P(), P(), P(),            # seed_hi, seed_lo, block_length
+        ),
+        out_specs=P("reads", None),
+        check_vma=False,
+    )
+    def step(fp_local, packed_local, len_local, onehot_local, run_users,
+             seed_hi, seed_lo, block_length):
+        khi, klo, emit = syncmer_kmers(packed_local, len_local, k, s, t)
+        chi, clo, valid, n_unique, n_emit = dedup_kmers(
+            khi, klo, emit, hcap, gap)
+        hi, lo = wyhash64(chi, clo)
+        # re-collect the reads row of this bins group (tiled: concat)
+        gather = lambda x: jax.lax.all_gather(  # noqa: E731
+            x, "bins", axis=0, tiled=True)
+        hi, lo, valid = gather(hi), gather(lo), gather(valid)
+        n_unique, n_emit = gather(n_unique), gather(n_emit)
+        R = hi.shape[0]
+        pos, f4 = probe_positions_and_fprint4(hi, lo, seed_hi, seed_lo,
+                                              block_length)
+        S1 = fp_local.shape[0]
+        pos = jnp.where(valid[..., None], pos, jnp.int32(S1 - 1))
+        f4 = jnp.where(valid, f4, jnp.uint32(0x01010101))
+        f4i = jax.lax.bitcast_convert_type(f4, jnp.int32)[:, None, :]
+        bt4 = choose_bin_tile4(S1, fp_local.shape[1])
+        counts = _probe_call(fp_local, pos.reshape(R, 1, hcap * 3), f4i,
+                             _body_counts(valid), bt4, interpret)
+        part = jnp.dot(
+            counts.astype(jnp.float32), onehot_local,
+            preferred_element_type=jnp.float32,
+        )
+        sums = jax.lax.psum(part, "bins").astype(jnp.int32)
+        vs = jnp.where((run_users >= 0)[None, :], sums, jnp.int32(-1))
+        kk = min(topk, vs.shape[1])
+        vals, idx = jax.lax.top_k(vs, kk)
+        users = run_users[idx]
+        users = jnp.where(vals >= 0, users, jnp.int32(-1))
+        if kk < topk:
+            padc = ((0, 0), (0, topk - kk))
+            vals = jnp.pad(vals, padc, constant_values=-1)
+            users = jnp.pad(users, padc, constant_values=-1)
+        return jnp.concatenate(
+            [vals, users, n_unique[:, None], n_emit[:, None]], axis=1)
+
+    return jax.jit(step)
+
+
 def sharded_search_step_fn(mesh: Mesh):
     """Full classification step over the mesh: probe (bins-sharded) ->
     all_gather counts -> user-bin run sums (one-hot matmul) -> threshold

@@ -106,7 +106,7 @@ def search_single(
     from ..hash import device_syncmer as dsync
 
     use_e2e = (
-        config.engine == "device"
+        config.engine in ("device", "sharded")
         and device_hixf is not None
         and hasattr(device_hixf, "e2e_capable")
         and device_hixf.e2e_capable(thresholder)

@@ -1,0 +1,141 @@
+"""Full fused search step under shard_map (reads x bins mesh) must be
+bit-identical to the single-device fused step — the multi-chip
+configuration for indexes larger than one chip's HBM (SURVEY.md §2.3
+mapping; BASELINE.md scaling points)."""
+
+import numpy as np
+import pytest
+
+from taxor_tpu.device.e2e import fused_e2e_step
+from taxor_tpu.device.pallas_probe import (
+    _READ_TILE,
+    choose_bin_tile4,
+    prepare_fingerprints,
+)
+from taxor_tpu.device.sharding import make_mesh, sharded_e2e_fn
+from taxor_tpu.hash.device_syncmer import (
+    hash_cap,
+    pack_reads,
+    pad_len_bucket,
+)
+
+from .util import make_reads, make_ref_set
+
+
+@pytest.fixture(scope="module")
+def flat_index(tmp_path_factory):
+    from taxor_tpu.apps.build import BuildConfig, run_build
+    from taxor_tpu.io.fastx import read_all
+
+    tmp = str(tmp_path_factory.mktemp("sharded_e2e"))
+    rng = np.random.default_rng(3)
+    tsv, gdir, genomes = make_ref_set(tmp, rng, n_species=8,
+                                      genome_len=5000)
+    reads_file = make_reads(tmp, rng, genomes, n_reads_per_genome=8,
+                            read_len=800, error_rate=0.03)
+    index = run_build(BuildConfig(
+        input_file=tsv, input_sequence_dir=gdir, output_filename="",
+        kmer_size=16, syncmer_size=8, use_syncmer=True,
+        layout_mode="flat", layout_file="",
+    ))
+    reads = [r.seq for r in read_all(reads_file)]
+    return index, reads
+
+
+def test_sharded_e2e_matches_single_device(flat_index):
+    import jax
+    import jax.numpy as jnp
+
+    index, reads = flat_index
+    scheme = index.scheme
+    ixf = index.hixf.ixfs[0]
+    n_bin_shards, n_read_shards = 4, 2
+    mesh = make_mesh(n_read_shards, n_bin_shards)
+
+    # pad bins so the packed-word axis splits into full 128-lane tiles
+    # per bins shard
+    fp = prepare_fingerprints(ixf.fingerprints)  # [S1, B4]
+    B4 = 128 * n_bin_shards
+    fp = np.pad(fp, ((0, 0), (0, B4 - fp.shape[1])))
+    starts, ends, users = index.hixf.runs_of_ixf(0)
+    onehot = np.zeros((4 * B4, starts.shape[0]), dtype=np.float32)
+    for i, (a, b) in enumerate(zip(starts, ends)):
+        onehot[a:b, i] = 1.0
+    run_users = users.astype(np.int32)
+
+    L = pad_len_bucket(max(len(r) for r in reads))
+    packed, lengths = pack_reads(reads, L)
+    R0 = len(reads)
+    Rpad = -R0 % (n_read_shards * n_bin_shards * _READ_TILE)
+    packed = np.pad(packed, ((0, Rpad), (0, 0)))
+    lengths = np.pad(lengths, (0, Rpad)).astype(np.int32)
+    hcap = hash_cap(L)
+    args = (
+        jnp.asarray(fp), jnp.asarray(packed), jnp.asarray(lengths),
+        jnp.asarray(onehot), jnp.asarray(run_users),
+        jnp.uint32(ixf.seed >> 32), jnp.uint32(ixf.seed & 0xFFFFFFFF),
+        jnp.uint32(ixf.block_length),
+    )
+
+    expect = np.asarray(fused_e2e_step(
+        *args, k=scheme.kmer_size, s=scheme.syncmer_size,
+        t=scheme.t_syncmer, hcap=hcap, topk=16,
+        bin_tile4=choose_bin_tile4(fp.shape[0], fp.shape[1]),
+        interpret=True,
+    ))
+
+    step = sharded_e2e_fn(mesh, k=scheme.kmer_size,
+                          s=scheme.syncmer_size, t=scheme.t_syncmer,
+                          hcap=hcap, topk=16, interpret=True)
+    got = np.asarray(jax.block_until_ready(step(*args)))
+
+    assert got.shape == expect.shape
+    assert (got == expect).all()
+
+
+def test_device_hixf_sharded_dispatch(flat_index):
+    """DeviceHIXF.e2e_async with a mesh routes through the shard_map
+    step (padding, state caching, collector contract) and agrees with
+    the single-device fused step."""
+    import jax.numpy as jnp
+
+    from taxor_tpu.device.hixf_search import DeviceHIXF
+
+    index, reads = flat_index
+    scheme = index.scheme
+    mesh = make_mesh(2, 4)
+    dhixf = DeviceHIXF(index.hixf, mesh=mesh)
+    dhixf._interpret = True
+    assert dhixf.e2e_capable()
+
+    L = pad_len_bucket(max(len(r) for r in reads))
+    packed, lengths = pack_reads(reads, L)
+    vals, users, counts, n_emit, hcap = dhixf.e2e_async(
+        packed, lengths, scheme)()
+
+    # single-device expectation via the fused step directly
+    ixf = index.hixf.ixfs[0]
+    fp = prepare_fingerprints(ixf.fingerprints)
+    starts, ends, ub = index.hixf.runs_of_ixf(0)
+    onehot = np.zeros((fp.shape[1] * 4, starts.shape[0]),
+                      dtype=np.float32)
+    for i, (a, b) in enumerate(zip(starts, ends)):
+        onehot[a:b, i] = 1.0
+    R0 = len(reads)
+    rpad = -R0 % _READ_TILE
+    p1 = np.pad(packed, ((0, rpad), (0, 0)))
+    l1 = np.pad(lengths, (0, rpad)).astype(np.int32)
+    expect = np.asarray(fused_e2e_step(
+        jnp.asarray(fp), jnp.asarray(p1), jnp.asarray(l1),
+        jnp.asarray(onehot), jnp.asarray(ub.astype(np.int32)),
+        jnp.uint32(ixf.seed >> 32), jnp.uint32(ixf.seed & 0xFFFFFFFF),
+        jnp.uint32(ixf.block_length),
+        k=scheme.kmer_size, s=scheme.syncmer_size, t=scheme.t_syncmer,
+        hcap=hcap, topk=16,
+        bin_tile4=choose_bin_tile4(fp.shape[0], fp.shape[1]),
+        interpret=True,
+    ))[:R0]
+    assert (vals == expect[:, :16]).all()
+    assert (users == expect[:, 16:32]).all()
+    assert (counts == expect[:, 32]).all()
+    assert (n_emit == expect[:, 33]).all()
