@@ -26,7 +26,7 @@ import numpy as np
 from ..hash.device_syncmer import (dedup_kmers, emission_min_gap,
                                    syncmer_kmers)
 from ..utils.u64jnp import probe_positions_and_fprint4, wyhash64
-from .pallas_probe import _HASH_UNROLL, _body_counts, _probe_call
+from .pallas_probe import _HASH_UNROLL, _probe_call_chunked
 
 
 def make_hixf_e2e_fn(dixfs, tree_children, leaf_runs, leaf_users,
@@ -63,7 +63,6 @@ def make_hixf_e2e_fn(dixfs, tree_children, leaf_runs, leaf_users,
             k_hi, k_lo, emit, hcap, emission_min_gap(k, s, t))
         hi, lo = wyhash64(khi_c, klo_c)
         thr = thr_table[jnp.clip(n_unique, 0, thr_table.shape[0] - 1)]
-        bodies = _body_counts(valid)[:, 0, 0]
         active = {0: jnp.ones((R,), dtype=bool)}
         leaf_vals = []
         for pos_i, (dixf, bt4, sel) in enumerate(
@@ -74,10 +73,9 @@ def make_hixf_e2e_fn(dixfs, tree_children, leaf_runs, leaf_users,
             S1 = dixf.fp.shape[0]
             pos = jnp.where(valid[..., None], pos, jnp.int32(S1 - 1))
             f4 = jnp.where(valid, f4, jnp.uint32(0x01010101))
-            f4i = jax.lax.bitcast_convert_type(f4, jnp.int32)[:, None, :]
-            bodies_i = jnp.where(act, bodies, 0)[:, None, None]
-            counts = _probe_call(dixf.fp, pos.reshape(R, 1, hcap * 3),
-                                 f4i, bodies_i, bt4, interpret)
+            f4i = jax.lax.bitcast_convert_type(f4, jnp.int32)
+            counts = _probe_call_chunked(
+                dixf.fp, pos, f4i, valid & act[:, None], bt4, interpret)
             sums = jnp.dot(
                 counts.astype(jnp.float32), dixf.run_onehot,
                 preferred_element_type=jnp.float32,
@@ -141,9 +139,9 @@ def fused_e2e_step(
     S1 = fp_packed.shape[0]
     pos = jnp.where(valid[..., None], pos, jnp.int32(S1 - 1))
     f4 = jnp.where(valid, f4, jnp.uint32(0x01010101))
-    f4i = jax.lax.bitcast_convert_type(f4, jnp.int32)[:, None, :]
-    counts = _probe_call(fp_packed, pos.reshape(R, 1, hcap * 3), f4i,
-                         _body_counts(valid), bin_tile4, interpret)
+    f4i = jax.lax.bitcast_convert_type(f4, jnp.int32)
+    counts = _probe_call_chunked(fp_packed, pos, f4i, valid, bin_tile4,
+                                 interpret)
     sums = jnp.dot(
         counts.astype(jnp.float32), onehot,
         preferred_element_type=jnp.float32,

@@ -153,6 +153,33 @@ def _probe_call(fp_packed, pos, fpr4, bodies, bin_tile4, interpret):
     return jnp.moveaxis(out, 1, 2).reshape(R, 4 * B4)
 
 
+# max hash slots per kernel row: bounds the SMEM block of one read tile
+# (RT * 3 * _H_CHUNK int32 positions); longer hash lists fold into extra
+# rows (see _probe_call_chunked)
+_H_CHUNK = 512
+
+
+def _probe_call_chunked(fp_packed, pos, f4i, valid, bin_tile4, interpret):
+    """_probe_call for arbitrary hash widths: the hash axis folds into
+    extra kernel rows of <= _H_CHUNK slots whose counts sum back per
+    read.  Because dedup leaves hashes sorted with the invalid tail
+    last, trailing sub-rows get a zero trip count — near-free.  pos is
+    [R, H, 3] (NOT flattened), f4i [R, H] int32, valid [R, H] bool."""
+    R, H, _ = pos.shape
+    if H <= _H_CHUNK:
+        return _probe_call(fp_packed, pos.reshape(R, 1, H * 3),
+                           f4i[:, None, :], _body_counts(valid),
+                           bin_tile4, interpret)
+    assert H % _H_CHUNK == 0
+    nc = H // _H_CHUNK
+    pos2 = pos.reshape(R * nc, 1, _H_CHUNK * 3)
+    f4i2 = f4i.reshape(R * nc, 1, _H_CHUNK)
+    bodies = _body_counts(valid.reshape(R * nc, _H_CHUNK))
+    counts = _probe_call(fp_packed, pos2, f4i2, bodies, bin_tile4,
+                         interpret)
+    return counts.reshape(R, nc, -1).sum(axis=1)
+
+
 def _body_counts(mask) -> "jnp.ndarray":
     """ceil(valid_prefix_len / U) loop bodies per read.  Uses the LAST
     true position (not the sum) so interior-false masks stay correct —
@@ -228,10 +255,9 @@ def fused_probe_step(
     # the no-hit fingerprint must poison ALL 4 byte lanes of the packed
     # word (a bare 1 would leave lanes 1-3 matching the zero sentinel row)
     f4 = jnp.where(mask, f4, jnp.uint32(0x01010101))
-    pos_flat = pos.reshape(R, 1, H * 3)
-    f4i = jax.lax.bitcast_convert_type(f4, jnp.int32)[:, None, :]
-    counts = _probe_call(fp_packed, pos_flat, f4i, _body_counts(mask),
-                         bin_tile4, interpret)
+    f4i = jax.lax.bitcast_convert_type(f4, jnp.int32)
+    counts = _probe_call_chunked(fp_packed, pos, f4i, mask, bin_tile4,
+                                 interpret)
     return jnp.dot(
         counts.astype(jnp.float32), onehot,
         preferred_element_type=jnp.float32,

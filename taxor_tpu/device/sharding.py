@@ -101,7 +101,7 @@ def sharded_e2e_fn(mesh: Mesh, k: int, s: int, t: int, hcap: int,
         syncmer_kmers,
     )
     from ..utils.u64jnp import probe_positions_and_fprint4, wyhash64
-    from .pallas_probe import _body_counts, _probe_call, choose_bin_tile4
+    from .pallas_probe import _probe_call_chunked, choose_bin_tile4
 
     gap = emission_min_gap(k, s, t)
 
@@ -136,10 +136,10 @@ def sharded_e2e_fn(mesh: Mesh, k: int, s: int, t: int, hcap: int,
         S1 = fp_local.shape[0]
         pos = jnp.where(valid[..., None], pos, jnp.int32(S1 - 1))
         f4 = jnp.where(valid, f4, jnp.uint32(0x01010101))
-        f4i = jax.lax.bitcast_convert_type(f4, jnp.int32)[:, None, :]
+        f4i = jax.lax.bitcast_convert_type(f4, jnp.int32)
         bt4 = choose_bin_tile4(S1, fp_local.shape[1])
-        counts = _probe_call(fp_local, pos.reshape(R, 1, hcap * 3), f4i,
-                             _body_counts(valid), bt4, interpret)
+        counts = _probe_call_chunked(fp_local, pos, f4i, valid, bt4,
+                                     interpret)
         part = jnp.dot(
             counts.astype(jnp.float32), onehot_local,
             preferred_element_type=jnp.float32,

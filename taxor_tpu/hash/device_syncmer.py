@@ -43,9 +43,10 @@ from .encode import encode_dna4
 U32 = jnp.uint32
 _UMAX32 = 0xFFFFFFFF
 
-# reads longer than this use the host scanner (segmentation on device
-# would break per-read dedup across segments)
-L_CAP = 8192
+# reads longer than this use the host scanner; the device path covers
+# each power-of-two length bucket up to here (the probe kernel folds
+# long hash lists into extra rows, pallas_probe._probe_call_chunked)
+L_CAP = 32768
 BASES_PER_WORD = 16
 
 

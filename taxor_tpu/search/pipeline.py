@@ -113,27 +113,8 @@ def search_single(
         and dsync.supports(scheme)
     )
 
-    def prepare(chunk):
-        """Host-side work for one chunk.  e2e mode: just 2-bit pack the
-        reads (extraction happens on device); otherwise extract hashes +
-        thresholds on host.  Runs in a prefetch thread so it overlaps
-        the device compute of the previous chunk (the reference overlaps
-        via std::async, taxor_search.cpp:162-180)."""
-        seqs = [rec.seq for rec in chunk]
-        if use_e2e and max((len(s) for s in seqs), default=0) <= dsync.L_CAP:
-            L = dsync.pad_len_bucket(max((len(s) for s in seqs),
-                                         default=1))
-            packed, lengths = dsync.pack_reads(seqs, L)
-            if len(seqs) < config.batch_size:  # pad the final chunk so
-                # the (R, L) shape bucket — and the compiled graph — stay
-                # identical across chunks
-                pad = config.batch_size - len(seqs)
-                packed = np.pad(packed, ((0, pad), (0, 0)))
-                lengths = np.pad(lengths, (0, pad))
-            return ("e2e", chunk, seqs, packed, lengths)
-        hash_lists = search_hashes(seqs, scheme)
-        hash_counts = [h.shape[0] for h in hash_lists]
-        thresholds = np.array(
+    def _hash_thresholds(hash_counts, seqs):
+        return np.array(
             [
                 thresholder.get(
                     hc,
@@ -146,6 +127,14 @@ def search_single(
             ],
             dtype=np.int64,
         )
+
+    def prepare(chunk):
+        """Host extraction + thresholds for the host engine (and the
+        device hash fallback path)."""
+        seqs = [rec.seq for rec in chunk]
+        hash_lists = search_hashes(seqs, scheme)
+        hash_counts = [h.shape[0] for h in hash_lists]
+        thresholds = _hash_thresholds(hash_counts, seqs)
         return ("hash", chunk, hash_lists, hash_counts, thresholds)
 
     def prefetched():
@@ -198,28 +187,77 @@ def search_single(
     from collections import deque
     from concurrent.futures import ThreadPoolExecutor
 
+    # positions per e2e dispatch: bounds the [R, L] device intermediates
+    # (~16M uint32 elements = 64 MB each) while keeping sub-batches big
+    POS_BUDGET = 2048 * 2048
+
+    def _pad_rows(n: int) -> int:
+        return max(16, 1 << (n - 1).bit_length())
+
     def process(chunk):
+        """One whole batch: per-read LENGTH BUCKETING routes each read
+        to the fused on-device path at its (power-of-two) length bucket
+        — ONT batches mix 500 b and 30 kb reads, and one long read must
+        not push the whole chunk onto the host scanner.  Sub-batches
+        cap at POS_BUDGET/L reads; reads beyond L_CAP take the
+        host-extraction + device-probe path."""
         t0 = time.perf_counter()
-        prepared = prepare(chunk)
-        if prepared[0] == "e2e":
-            _, chunk, seqs, packed, lengths = prepared
-            collect = device_hixf.e2e_async(packed, lengths, scheme,
-                                            thresholder)
-            vals, users, counts, n_emit, hcap = collect()
-            all_pairs, hash_counts = _pairs_from_e2e(
-                vals, users, counts, n_emit, seqs, index, scheme,
-                thresholder, dfs_rank, hcap)
+        seqs = [rec.seq for rec in chunk]
+        n = len(seqs)
+        all_pairs: list = [None] * n
+        hash_counts: list = [None] * n
+        hash_idx: list[int] = []
+        if use_e2e:
+            buckets: dict[int, list[int]] = {}
+            for i, s in enumerate(seqs):
+                if 0 < len(s) <= dsync.L_CAP:
+                    L = dsync.pad_len_bucket(len(s))
+                    buckets.setdefault(L, []).append(i)
+                else:
+                    hash_idx.append(i)
+            pend = []
+            for L in sorted(buckets):
+                idxs = buckets[L]
+                sub = max(16, min(config.batch_size,
+                                  POS_BUDGET // max(L, 1)))
+                for off in range(0, len(idxs), sub):
+                    part = idxs[off : off + sub]
+                    gseqs = [seqs[i] for i in part]
+                    packed, lengths = dsync.pack_reads(gseqs, L)
+                    rpad = min(sub, _pad_rows(len(part))) - len(part)
+                    if rpad:  # power-of-two row buckets bound the
+                        # number of compiled (R, L) shapes
+                        packed = np.pad(packed, ((0, rpad), (0, 0)))
+                        lengths = np.pad(lengths, (0, rpad))
+                    pend.append((part, gseqs, device_hixf.e2e_async(
+                        packed, lengths, scheme, thresholder)))
+            for part, gseqs, collect in pend:
+                vals, users, counts, n_emit, hcap = collect()
+                prs, hcs = _pairs_from_e2e(
+                    vals, users, counts, n_emit, gseqs, index, scheme,
+                    thresholder, dfs_rank, hcap)
+                for j, i in enumerate(part):
+                    all_pairs[i] = prs[j]
+                    hash_counts[i] = hcs[j]
         else:
-            _, chunk, hash_lists, hash_counts, thresholds = prepared
+            hash_idx = list(range(n))
+        if hash_idx:
+            hseqs = [seqs[i] for i in hash_idx]
+            hash_lists = search_hashes(hseqs, scheme)
+            hcs = [h.shape[0] for h in hash_lists]
+            thresholds = _hash_thresholds(hcs, hseqs)
             kind, collect = _device_dispatch(device_hixf, hash_lists,
                                              thresholds)
             if kind == "topk":
                 vals, users = collect()
-                all_pairs = _pairs_from_topk(
+                prs = _pairs_from_topk(
                     vals, users, thresholds, hash_lists, index, dfs_rank)
             else:
                 counts, emitted = collect()
-                all_pairs = _pairs_from_counts(counts, emitted, dfs_rank)
+                prs = _pairs_from_counts(counts, emitted, dfs_rank)
+            for j, i in enumerate(hash_idx):
+                all_pairs[i] = prs[j]
+                hash_counts[i] = hcs[j]
         rows = []
         for rec, hc, pairs in zip(chunk, hash_counts, all_pairs):
             rows.append(

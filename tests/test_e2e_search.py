@@ -200,3 +200,89 @@ class TestOrderInvariance:
         rows_a = set(open(outs[0]).read().splitlines()[1:])
         rows_b = set(open(outs[1]).read().splitlines()[1:])
         assert rows_a == rows_b
+
+
+class TestMultiIndexMultiQuery:
+    """Comma-separated index/query lists share ONE output file + header
+    (taxor_search.cpp:97-151,340-360); schemes must agree across
+    indexes."""
+
+    def test_outer_product_single_output(self, built_index, ref_set,
+                                         tmp_path):
+        tmp, tsv, gdir, genomes, reads = ref_set
+        out_file, _ = built_index
+        # second index: same scheme, different (sub)set handled by the
+        # same build path — reuse the same index file for the list
+        idx2 = str(tmp_path / "copy.taxor.npz")
+        import shutil
+
+        shutil.copy(out_file, idx2)
+        q2 = str(tmp_path / "q2.fasta")
+        shutil.copy(reads, q2)
+        report = str(tmp_path / "multi.tsv")
+        run_search(SearchConfig(
+            index_file=f"{out_file},{idx2}",
+            query_file=f"{reads},{q2}",
+            report_file=report, engine="host"))
+        lines = open(report).read().splitlines()
+        assert sum(1 for l in lines if l.startswith("#QUERY_NAME")) == 1
+        single = str(tmp_path / "single.tsv")
+        run_search(SearchConfig(index_file=out_file, query_file=reads,
+                                report_file=single, engine="host"))
+        base_rows = open(single).read().splitlines()[1:]
+        # 2 queries x 2 identical indexes -> every base row 4 times
+        assert len(lines) - 1 == 4 * len(base_rows)
+
+    def test_scheme_mismatch_rejected(self, built_index, ref_set,
+                                      tmp_path):
+        tmp, tsv, gdir, genomes, reads = ref_set
+        out_file, _ = built_index
+        other = str(tmp_path / "otherscheme.taxor.npz")
+        run_build(BuildConfig(
+            input_file=tsv, input_sequence_dir=gdir,
+            output_filename=other, kmer_size=18, syncmer_size=8,
+            use_syncmer=True, layout_mode="flat",
+            layout_file=str(tmp_path / "b.out")))
+        with pytest.raises(ValueError, match="different"):
+            run_search(SearchConfig(
+                index_file=f"{out_file},{other}", query_file=reads,
+                report_file=str(tmp_path / "x.tsv"), engine="host"))
+
+
+class TestLongReads:
+    """ONT batches mix ~500 b and tens-of-kb reads; per-read length
+    bucketing must keep every read on a correct path (device fused for
+    <= L_CAP at its power-of-two bucket, host-extraction fallback
+    beyond) with output identical to the host oracle."""
+
+    def _mixed_query(self, ref_set, tmp_path):
+        from .util import write_fasta
+
+        tmp, tsv, gdir, genomes, reads = ref_set
+        rng = np.random.default_rng(77)
+        recs = []
+        for i, ln in enumerate([300, 900, 2500, 7000, 12000, 20000]):
+            g = genomes[i % len(genomes)][1]
+            start = int(rng.integers(0, max(1, len(g) - 100)))
+            seq = (g * (ln // len(g) + 2))[start : start + ln]
+            recs.append((f"mix{i}_len{ln}", seq))
+        q = str(tmp_path / "mixed.fasta")
+        write_fasta(q, recs)
+        return q
+
+    def test_mixed_lengths_host_device_identical(self, built_index,
+                                                 ref_set, tmp_path):
+        out_file, _ = built_index
+        q = self._mixed_query(ref_set, tmp_path)
+        outs = {}
+        for engine in ("host", "device"):
+            rep = str(tmp_path / f"mixed_{engine}.tsv")
+            run_search(SearchConfig(index_file=out_file, query_file=q,
+                                    report_file=rep, engine=engine))
+            outs[engine] = open(rep).read()
+        assert outs["host"] == outs["device"]
+        # all six reads present and classified rows exist
+        lines = outs["host"].splitlines()[1:]
+        ids = {l.split("\t")[0] for l in lines}
+        assert len(ids) == 6
+        assert any(l.split("\t")[1] != "-" for l in lines)
