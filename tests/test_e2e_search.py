@@ -260,9 +260,10 @@ class TestLongReads:
 
         tmp, tsv, gdir, genomes, reads = ref_set
         rng = np.random.default_rng(77)
+        gseqs = [genomes[a] for a in sorted(genomes)]
         recs = []
         for i, ln in enumerate([300, 900, 2500, 7000, 12000, 20000]):
-            g = genomes[i % len(genomes)][1]
+            g = gseqs[i % len(gseqs)]
             start = int(rng.integers(0, max(1, len(g) - 100)))
             seq = (g * (ln // len(g) + 2))[start : start + ln]
             recs.append((f"mix{i}_len{ln}", seq))
