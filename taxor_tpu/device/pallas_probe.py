@@ -50,9 +50,10 @@ _HASH_UNROLL = 8
 _LOW7 = 0x7F7F7F7F
 # 0x80808080 as int32
 _SIGN = -2139062144
-# flush the packed byte counters before any lane can reach 256 hits
-# (bodies * _HASH_UNROLL hashes < 256)
-_FLUSH_BODIES = 255 // _HASH_UNROLL
+# flush the packed byte counters before any lane can reach 256 hits:
+# the U hashes of one body accumulate on SEPARATE sublanes of the
+# [U, BT4] packed tile, so each byte gains at most 1 per body
+_FLUSH_BODIES = 255
 
 
 def _kernel(pos_ref, fpr_ref, cnt_ref, fp_ref, out_ref):
@@ -66,14 +67,17 @@ def _kernel(pos_ref, fpr_ref, cnt_ref, fp_ref, out_ref):
     fp_ref:  int32 [S+1, BT4]    (VMEM) packed fingerprint block
     out_ref: int32 [RT, 4, BT4]  (VMEM) per-byte-lane counts per read
 
-    Inner loop cost per hash: 3 dynamic row loads + 4 XOR + 5-op exact
-    SWAR per-byte zero test + shift/accumulate, all on the packed int32
-    lanes.  The SWAR test ((x & 0x7F7F..) + 0x7F7F.. | x) has no
-    cross-byte carries (each masked byte <= 0x7F, sum <= 0xFE), so — unlike
-    the classic (x-1)&~x trick — it is per-byte EXACT, which host/device
-    output parity requires.  Hits accumulate as packed bytes and flush to
-    int32 accumulators every 252 hashes.  Per-read dynamic trip counts
-    skip the padded hash tail entirely.
+    Inner loop: the U hashes of one body each do 3 dynamic row loads +
+    3 XORs at [BT4] width, then stack into a [U, BT4] tile (U = 8
+    sublanes x 128 lanes = exactly one 32-bit vreg when BT4 = 128) so
+    the 5-op exact SWAR per-byte zero test + accumulate run at FULL VPU
+    occupancy instead of 1/8th.  The SWAR test ((x & 0x7F7F..) +
+    0x7F7F.. | x) has no cross-byte carries (each masked byte <= 0x7F,
+    sum <= 0xFE), so — unlike the classic (x-1)&~x trick — it is per-byte
+    EXACT, which host/device output parity requires.  Hits accumulate as
+    packed bytes per sublane (each byte gains <= 1 per body) and flush
+    to int32 accumulators via a cross-sublane sum every 255 bodies.
+    Per-read dynamic trip counts skip the padded hash tail entirely.
     """
     RT = pos_ref.shape[0]
     BT4 = out_ref.shape[2]
@@ -83,31 +87,39 @@ def _kernel(pos_ref, fpr_ref, cnt_ref, fp_ref, out_ref):
         nb = cnt_ref[r, 0, 0]
 
         def hash_body(hu, packed):
+            rows = []
             for u in range(U):
                 h = hu * U + u
                 p0 = pos_ref[r, 0, 3 * h]
                 p1 = pos_ref[r, 0, 3 * h + 1]
                 p2 = pos_ref[r, 0, 3 * h + 2]
                 f4 = fpr_ref[r, 0, h]
-                x = fp_ref[p0, :] ^ fp_ref[p1, :] ^ fp_ref[p2, :] ^ f4
-                nz = ((x & _LOW7) + _LOW7) | x  # byte sign bit: byte != 0
-                hits = jax.lax.shift_right_logical(
-                    (~nz) & _SIGN, 7
-                )  # 0x01 per zero byte
-                packed = packed + hits
-            return packed
+                rows.append(
+                    (fp_ref[p0, :] ^ fp_ref[p1, :] ^ fp_ref[p2, :] ^ f4)[
+                        None, :
+                    ]
+                )
+            x = jnp.concatenate(rows, axis=0)  # [U, BT4]
+            nz = ((x & _LOW7) + _LOW7) | x  # byte sign bit: byte != 0
+            hits = jax.lax.shift_right_logical(
+                (~nz) & _SIGN, 7
+            )  # 0x01 per zero byte
+            return packed + hits
 
         def chunk_body(ci, accs):
             a0, a1, a2, a3 = accs
             lo = ci * _FLUSH_BODIES
             hi = jnp.minimum(nb, lo + _FLUSH_BODIES)
             packed = jax.lax.fori_loop(
-                lo, hi, hash_body, jnp.zeros((BT4,), jnp.int32)
+                lo, hi, hash_body, jnp.zeros((U, BT4), jnp.int32)
             )
-            a0 = a0 + (packed & _B0)
-            a1 = a1 + (jax.lax.shift_right_logical(packed, 8) & _B0)
-            a2 = a2 + (jax.lax.shift_right_logical(packed, 16) & _B0)
-            a3 = a3 + jax.lax.shift_right_logical(packed, 24)
+            a0 = a0 + jnp.sum(packed & _B0, axis=0)
+            a1 = a1 + jnp.sum(
+                jax.lax.shift_right_logical(packed, 8) & _B0, axis=0)
+            a2 = a2 + jnp.sum(
+                jax.lax.shift_right_logical(packed, 16) & _B0, axis=0)
+            a3 = a3 + jnp.sum(
+                jax.lax.shift_right_logical(packed, 24), axis=0)
             return (a0, a1, a2, a3)
 
         zero = jnp.zeros((BT4,), jnp.int32)
