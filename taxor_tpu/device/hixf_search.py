@@ -318,7 +318,9 @@ class DeviceHIXF:
         models (percentage / syncmer) ignore the scaling argument."""
         tbl = np.empty(hcap + 1, dtype=np.int64)
         for c in range(hcap + 1):
-            tbl[c] = thresholder.get(c, 0.0)
+            # clamp before the int64 store: size_t-wrapped "impossible"
+            # thresholds are >= 2^63 and overflow np.int64
+            tbl[c] = min(thresholder.get(c, 0.0), 2**31 - 1)
         return np.clip(tbl, 0, 2**31 - 1).astype(np.int32)
 
     def _hixf_e2e_fn(self, scheme, k: int):

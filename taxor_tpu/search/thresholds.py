@@ -74,6 +74,50 @@ def normal_cdf_inverse(p: float) -> float:
     return rational_approximation(math.sqrt(-2.0 * math.log(1.0 - p)))
 
 
+_SIZE_T_SENTINEL = 1 << 63
+
+
+def _cast_size_t(x: float) -> int:
+    """``static_cast<size_t>(double)`` as the reference binary computes it.
+
+    The cast is UB in C++ for NaN / negative / out-of-range values; the
+    behavior below is the measured runtime lowering of g++ -O2 on x86-64
+    (verified against the golden fixtures generated from the reference's
+    kmer_model.cpp / fracminhash_model.cpp):
+
+      nan, x <= -2^63  ->  0x8000000000000000 sentinel
+      x in (-2^63, 0)  ->  two's-complement wrap of trunc(x)
+      x >= 2^64        ->  0
+
+    Every "weird" branch yields a value far above any possible hit count
+    or far below any threshold use — semantically "impossible"/"zero".
+    """
+    if math.isnan(x):
+        return _SIZE_T_SENTINEL
+    t = math.trunc(x)
+    if t < -(1 << 63):
+        return _SIZE_T_SENTINEL
+    if t >= 1 << 64:
+        return 0
+    return t % (1 << 64)
+
+
+def _ieee_div(a: float, b: float) -> float:
+    """C double division: x/0 -> +-inf, 0/0 -> nan (Python raises instead)."""
+    if b == 0.0:
+        if a == 0.0 or math.isnan(a):
+            return math.nan
+        return math.inf if a > 0.0 else -math.inf
+    return a / b
+
+
+def _ieee_sqrt(x: float) -> float:
+    """C sqrt: negative -> nan (Python raises a domain error instead)."""
+    if math.isnan(x) or x < 0.0:
+        return math.nan
+    return math.sqrt(x)
+
+
 def expected_nmut_kmer(r: float, k: int, count: int) -> float:
     q = 1.0 - (1.0 - r) ** k
     return count * q
@@ -81,23 +125,27 @@ def expected_nmut_kmer(r: float, k: int, count: int) -> float:
 
 def variance_nmut_kmer(r: float, k: int, count: int) -> float:
     """Closed-form variance of the mutated-k-mer count
-    (kmer_model.cpp:35-42)."""
+    (kmer_model.cpp:35-42).  IEEE semantics throughout: r=0 produces
+    0*inf = NaN exactly as the reference's C double math does."""
     q = 1.0 - (1.0 - r) ** k
     return (
-        count * (1.0 - q) * (q * (2.0 * k + (2.0 / r) - 1.0) - 2.0 * k)
+        count * (1.0 - q) * (q * (2.0 * k + _ieee_div(2.0, r) - 1.0) - 2.0 * k)
         + k * (k - 1.0) * (1.0 - q) ** 2
-        + (2.0 * (1.0 - q) / (r**2)) * ((1.0 + (k - 1.0) * (1.0 - q)) * r - q)
+        + _ieee_div(2.0 * (1.0 - q), r**2) * ((1.0 + (k - 1.0) * (1.0 - q)) * r - q)
     )
 
 
 def nmut_kmer_ci(r: float, k: int, count: int, confidence: float = 0.95):
-    """(low, high) CI on mutated k-mers (kmer_model.cpp:10-26)."""
+    """(low, high) CI on mutated k-mers (kmer_model.cpp:10-26), with the
+    reference's size_t casts (sentinel on NaN/negative, see _cast_size_t)."""
     q = 1.0 - (1.0 - r) ** k
     var = variance_nmut_kmer(r, k, count)
     z = normal_cdf_inverse(1.0 - (1.0 - confidence) / 2.0)
-    low = math.floor(count * q - z * math.sqrt(var))
-    high = math.ceil(count * q + z * math.sqrt(var))
-    return int(low), int(high)
+    lowf = count * q - z * _ieee_sqrt(var)
+    highf = count * q + z * _ieee_sqrt(var)
+    low = math.nan if math.isnan(lowf) else math.floor(lowf)
+    high = math.nan if math.isnan(highf) else math.ceil(highf)
+    return _cast_size_t(low), _cast_size_t(high)
 
 
 def syncmer_match_ratio(k: int, error_rate: float) -> float:
@@ -120,7 +168,7 @@ def containment_index_ci(r: float, k: int, count: int, scaling: float,
     term1 = (1.0 - scaling) / denominator
     var = term1 * term2 + term3
     z = normal_cdf_inverse(1.0 - (1.0 - confidence) / 2.0)
-    return exp_ci - z * math.sqrt(var), exp_ci + z * math.sqrt(var)
+    return exp_ci - z * _ieee_sqrt(var), exp_ci + z * _ieee_sqrt(var)
 
 
 @dataclass
@@ -158,12 +206,13 @@ class Thresholder:
         if self.kind == "kmer_model":
             _, hi = nmut_kmer_ci(self.error_rate, self.kmer_size,
                                  minimiser_count, 0.95)
-            val = minimiser_count - hi - fp_correction
-            return val if val >= 0 else INF_THRESHOLD
+            # exact size_t wrap of threshold.hpp:64-65 — wrapped values are
+            # >= 2^63, far above any possible count, i.e. "impossible"
+            return (minimiser_count - hi - fp_correction) % (1 << 64)
         if self.kind == "fracminhash":
             clow, _ = containment_index_ci(self.error_rate, self.kmer_size,
                                            minimiser_count, scaling_factor,
                                            0.95)
-            val = int(clow * minimiser_count) - fp_correction
-            return val if val >= 0 else INF_THRESHOLD
+            val = _cast_size_t(clow * minimiser_count)
+            return (val - fp_correction) % (1 << 64)
         return int(minimiser_count * self.percentage)
