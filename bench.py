@@ -106,17 +106,31 @@ def main():
         hashes[r, : h.shape[0]] = h
         mask[r, : h.shape[0]] = True
 
-    # single-thread host oracle baseline: the reference worker's full
-    # per-read job (extraction + threshold + query, taxor_search.cpp:196)
-    sub = min(32, R)
+    # Honest CPU baseline: the reference's full worker loop (syncmer scan
+    # -> dedup -> threshold -> recursive HIXF membership -> 0.8*max
+    # filter) implemented in C++ (-O3 -march=native, threaded like
+    # do_parallel) — native/ref_baseline.cpp, correctness-tested against
+    # the host oracle in tests/test_baseline.py.  baseline_proxy models a
+    # 32-core machine as 32 x the single-thread rate (this bench host has
+    # few cores, so a literal 32-thread run here would UNDERstate the
+    # reference); the literal 32-thread-on-this-host number is recorded
+    # alongside.
+    import os as _os
+
+    from taxor_tpu.native.baseline import baseline_search
+
     t0 = time.perf_counter()
-    for r in range(sub):
-        hl = search_hashes([seqs[r]], scheme)[0]
-        index.hixf.membership(hl, int(thresholds[r]))
+    _, _, _ = baseline_search(index.hixf, seqs, scheme, thresholder,
+                              threads=1)
     t_oracle = time.perf_counter() - t0
-    oracle_reads_per_s = sub / t_oracle
+    oracle_reads_per_s = R / t_oracle
+    t0 = time.perf_counter()
+    baseline_search(index.hixf, seqs, scheme, thresholder, threads=32)
+    native32_reads_per_s = R / (time.perf_counter() - t0)
     baseline_proxy = 32 * oracle_reads_per_s
-    log(f"bench: host oracle {oracle_reads_per_s:.1f} reads/s/thread")
+    log(f"bench: native C++ baseline {oracle_reads_per_s:.0f} reads/s/thread "
+        f"(x32 extrapolated {baseline_proxy:.0f}; literal 32 threads on "
+        f"{_os.cpu_count()} cores {native32_reads_per_s:.0f})")
 
     # device phase in a worker thread so a runaway compile can't hang the
     # driver; the thread is daemonic and abandoned on timeout
@@ -269,9 +283,12 @@ def main():
                 "probes_per_s": round(n_hashes_total * 3 / t_dev, 0),
                 "probe_row_bytes_per_s": round(
                     n_hashes_total * 3 * bins / t_dev, 0),
-                "host_oracle_reads_per_s_1thread": round(
-                    oracle_reads_per_s, 2),
-                "baseline_proxy": "32 x single-thread numpy host oracle",
+                "baseline_1thread_reads_per_s": round(oracle_reads_per_s, 1),
+                "baseline_32thread_on_this_host_reads_per_s": round(
+                    native32_reads_per_s, 1),
+                "baseline_proxy": "32-thread native C++ reference-algorithm "
+                                  "worker (32 x measured single-thread rate; "
+                                  "see native/ref_baseline.cpp)",
                 "hash_extraction_s_per_1024reads": round(t_hash, 2),
                 "classified_fraction": round(device["classified"], 3),
                 "index_build_s": round(t_build, 1),
@@ -288,9 +305,8 @@ def main():
             "detail": {
                 "device_timeout": True,
                 "note": "TPU compile service exceeded the bench budget; "
-                        "reporting the 32-thread host-oracle proxy",
-                "host_oracle_reads_per_s_1thread": round(
-                    oracle_reads_per_s, 2),
+                        "reporting the 32-thread native C++ baseline proxy",
+                "baseline_1thread_reads_per_s": round(oracle_reads_per_s, 1),
                 "hash_extraction_s_per_1024reads": round(t_hash, 2),
                 "index_build_s": round(t_build, 1),
             },

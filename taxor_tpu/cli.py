@@ -21,12 +21,12 @@ def _enable_persistent_compile_cache() -> None:
         import jax
 
         d = os.environ.get(
-            "TAXOR_TPU_XLA_CACHE",
-            os.path.expanduser("~/.cache/taxor_tpu_xla"),
+            "TAXOR_TPU_JAX_CACHE",
+            os.path.expanduser("~/.cache/taxor_tpu_jax"),
         )
         os.makedirs(d, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", d)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass  # cache is an optimization, never a requirement
 

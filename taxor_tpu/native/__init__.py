@@ -33,7 +33,7 @@ def _cache_dir() -> str:
     return d
 
 
-_SOURCES = ("syncmer_scan.cpp", "xor_peel.cpp")
+_SOURCES = ("syncmer_scan.cpp", "xor_peel.cpp", "ref_baseline.cpp")
 
 
 def _compile() -> str | None:
@@ -86,6 +86,17 @@ def get_lib():
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long,
                 ctypes.c_ulonglong, ctypes.c_long, ctypes.c_void_p,
                 ctypes.c_long, ctypes.c_int,
+            ]
+            lib.ref_baseline_search.restype = ctypes.c_int
+            lib.ref_baseline_search.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_long,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_int,
             ]
             lib.syncmer_scan_batch.restype = None
             lib.syncmer_scan_batch.argtypes = [
