@@ -236,9 +236,15 @@ class DeviceHIXF:
         if self.mesh is not None:
             import jax
 
-            return len(self.ixfs) == 1 and (
-                jax.default_backend() == "tpu"
-                or getattr(self, "_interpret", False))
+            if not (jax.default_backend() == "tpu"
+                    or getattr(self, "_interpret", False)):
+                return False
+            if len(self.ixfs) == 1:
+                return True
+            # hierarchical descent thresholds come from the exact
+            # per-count table, so the model must be count-only
+            return thresholder is not None and thresholder.kind in (
+                "percentage", "syncmer_model")
         if not all(d.engine == "pallas" for d in self.ixfs):
             return False
         if len(self.ixfs) == 1:
@@ -246,11 +252,15 @@ class DeviceHIXF:
         return thresholder is not None and thresholder.kind in (
             "percentage", "syncmer_model")
 
-    def _sharded_e2e_async(self, raw_reads, lengths, scheme, k: int):
-        """Flat fused search over the (reads x bins) mesh: extraction
+    def _sharded_e2e_async(self, raw_reads, lengths, scheme, k: int,
+                           thresholder=None):
+        """Fused search over the (reads x bins) mesh: extraction
         data-parallel over all chips, probe bin-sharded, run sums psum'd
-        (sharding.sharded_e2e_fn).  Same collector contract as
-        e2e_async."""
+        (sharding.sharded_e2e_fn).  Hierarchical trees go through
+        _sharded_hixf_e2e_async.  Same collector contract as e2e_async."""
+        if len(self.hixf.ixfs) > 1:
+            return self._sharded_hixf_e2e_async(raw_reads, lengths,
+                                                scheme, k, thresholder)
         from ..hash.device_syncmer import hash_cap
         from .pallas_probe import _LANE, _READ_TILE, prepare_fingerprints
         from .sharding import sharded_e2e_fn
@@ -300,6 +310,115 @@ class DeviceHIXF:
             jnp.asarray(lengths.astype(np.int32)), state["onehot"],
             state["run_users"], state["seed_hi"], state["seed_lo"],
             state["bl"])
+        try:
+            packed_dev.copy_to_host_async()
+        except Exception:
+            pass
+
+        def collect():
+            packed = np.asarray(packed_dev)[:R0]
+            return (packed[:, :k], packed[:, k : 2 * k],
+                    packed[:, 2 * k], packed[:, 2 * k + 1], hcap)
+
+        return collect
+
+    def _tree_metadata(self):
+        """BFS-ordered static tree structure shared by the fused
+        hierarchical steps: (tree_children, leaf_runs, leaf_users)."""
+        bfs_pos = {ixf_id: p for p, ixf_id in enumerate(self.bfs_order)}
+        tree_children = []
+        leaf_runs = []
+        leaf_users_parts = []
+        for i in self.bfs_order:
+            d = self.ixfs[i]
+            kids = []
+            leaves = []
+            for r, c in enumerate(d.run_children):
+                if int(c) >= 0:
+                    kids.append((r, bfs_pos[int(c)]))
+                else:
+                    leaves.append(r)
+            tree_children.append(kids)
+            leaf_runs.append(np.array(leaves, dtype=np.int32))
+            leaf_users_parts.append(
+                d.run_users[np.array(leaves, dtype=np.int64)]
+                if leaves else np.zeros(0, dtype=np.int64)
+            )
+        leaf_users = np.concatenate(leaf_users_parts)
+        return tree_children, leaf_runs, leaf_users
+
+    def _sharded_hixf_e2e_async(self, raw_reads, lengths, scheme, k: int,
+                                thresholder):
+        """Hierarchical fused search over the mesh: every level's bins
+        shard evenly over the 'bins' axis (slot-count-balanced — each
+        chip holds 1/nb of every IXF's fingerprint volume), descent
+        sums psum per level (sharding.sharded_hixf_e2e_fn)."""
+        from ..hash.device_syncmer import hash_cap
+        from .pallas_probe import (_LANE, _READ_TILE,
+                                   prepare_fingerprints)
+        from .sharding import sharded_hixf_e2e_fn
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        mesh = self.mesh
+        nr, nb = mesh.shape["reads"], mesh.shape["bins"]
+        state = getattr(self, "_sharded_hixf_state", None)
+        if state is None:
+            tree_children, leaf_runs, leaf_users = self._tree_metadata()
+            fps, onehots = [], []
+            seeds_hi = np.zeros(len(self.bfs_order), dtype=np.uint32)
+            seeds_lo = np.zeros(len(self.bfs_order), dtype=np.uint32)
+            bls = np.zeros(len(self.bfs_order), dtype=np.uint32)
+            for p, i in enumerate(self.bfs_order):
+                ixf = self.hixf.ixfs[i]
+                fp = prepare_fingerprints(ixf.fingerprints)  # [S1, B4]
+                B4 = -(-fp.shape[1] // (_LANE * nb)) * (_LANE * nb)
+                fp = np.pad(fp, ((0, 0), (0, B4 - fp.shape[1])))
+                starts, ends, users = self.hixf.runs_of_ixf(i)
+                onehot = np.zeros((4 * B4, starts.shape[0]),
+                                  dtype=np.float32)
+                for r, (a, b) in enumerate(zip(starts, ends)):
+                    onehot[a:b, r] = 1.0
+                fps.append(jax.device_put(
+                    fp, NamedSharding(mesh, P(None, "bins"))))
+                onehots.append(jax.device_put(
+                    onehot, NamedSharding(mesh, P("bins", None))))
+                seeds_hi[p] = ixf.seed >> 32
+                seeds_lo[p] = ixf.seed & 0xFFFFFFFF
+                bls[p] = ixf.block_length
+            state = self._sharded_hixf_state = dict(
+                fps=tuple(fps), onehots=tuple(onehots),
+                tree_children=tree_children, leaf_runs=leaf_runs,
+                leaf_users=jnp.asarray(leaf_users.astype(np.int32)),
+                seeds_hi=jnp.asarray(seeds_hi),
+                seeds_lo=jnp.asarray(seeds_lo),
+                bls=jnp.asarray(bls), fns={}, thr_tables={},
+            )
+        R0 = raw_reads.shape[0]
+        rpad = (-R0) % (nr * nb * _READ_TILE)
+        if rpad:
+            raw_reads = np.pad(raw_reads, ((0, rpad), (0, 0)))
+            lengths = np.pad(lengths, (0, rpad))
+        L = raw_reads.shape[1] * 4
+        hcap = hash_cap(L)
+        tkey = (id(thresholder), hcap)
+        thr_tbl = state["thr_tables"].get(tkey)
+        if thr_tbl is None:
+            thr_tbl = state["thr_tables"][tkey] = jnp.asarray(
+                self._thr_table(thresholder, hcap))
+        fkey = (scheme.kmer_size, scheme.syncmer_size, scheme.t_syncmer,
+                hcap, k)
+        fn = state["fns"].get(fkey)
+        if fn is None:
+            fn = state["fns"][fkey] = sharded_hixf_e2e_fn(
+                mesh, len(self.bfs_order), state["tree_children"],
+                state["leaf_runs"], k=scheme.kmer_size,
+                s=scheme.syncmer_size, t=scheme.t_syncmer, hcap=hcap,
+                topk=k, interpret=getattr(self, "_interpret", False))
+        packed_dev = fn(
+            state["fps"], state["onehots"], jnp.asarray(raw_reads),
+            jnp.asarray(lengths.astype(np.int32)), thr_tbl,
+            state["leaf_users"], state["seeds_hi"], state["seeds_lo"],
+            state["bls"])
         try:
             packed_dev.copy_to_host_async()
         except Exception:
@@ -378,7 +497,8 @@ class DeviceHIXF:
         from .pallas_probe import _READ_TILE, choose_bin_tile4
 
         if self.mesh is not None:
-            return self._sharded_e2e_async(raw_reads, lengths, scheme, k)
+            return self._sharded_e2e_async(raw_reads, lengths, scheme, k,
+                                           thresholder)
         R = raw_reads.shape[0]
         rpad = (-R) % _READ_TILE
         if rpad:

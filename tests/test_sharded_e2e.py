@@ -139,3 +139,65 @@ def test_device_hixf_sharded_dispatch(flat_index):
     assert (users == expect[:, 16:32]).all()
     assert (counts == expect[:, 32]).all()
     assert (n_emit == expect[:, 33]).all()
+
+
+@pytest.fixture(scope="module")
+def hier_index(tmp_path_factory):
+    import os
+
+    from taxor_tpu.apps.build import BuildConfig, run_build
+    from taxor_tpu.io.fastx import read_all
+
+    tmp = str(tmp_path_factory.mktemp("sharded_hixf"))
+    rng = np.random.default_rng(11)
+    tsv, gdir, genomes = make_ref_set(tmp, rng, n_species=100,
+                                      genome_len=2500)
+    reads_file = make_reads(tmp, rng, genomes, n_reads_per_genome=1,
+                            read_len=700, error_rate=0.03)
+    index = run_build(BuildConfig(
+        input_file=tsv, input_sequence_dir=gdir, output_filename="",
+        kmer_size=16, syncmer_size=8, use_syncmer=True,
+        layout_mode="auto", tmax=64,
+        layout_file=os.path.join(tmp, "b.out"),
+    ))
+    assert len(index.hixf.ixfs) > 1  # genuinely hierarchical
+    reads = [r.seq for r in read_all(reads_file)]
+    return index, reads
+
+
+@pytest.mark.parametrize("percentage", [-1.0, 0.3])
+def test_sharded_hixf_matches_single_device(hier_index, percentage):
+    """Hierarchical bin-sharded fused search (every level's bins sharded
+    over the 'bins' axis, descent sums psum'd) must be bit-identical to
+    the single-device hierarchical fused step."""
+    from taxor_tpu.device.hixf_search import DeviceHIXF
+    from taxor_tpu.search.thresholds import Thresholder
+
+    index, reads = hier_index
+    scheme = index.scheme
+    thresholder = Thresholder.make(scheme.kmer_size, scheme.window_size,
+                                   0.04, percentage, scheme.use_syncmer)
+
+    L = pad_len_bucket(max(len(r) for r in reads))
+    packed, lengths = pack_reads(reads, L)
+
+    # single-device hierarchical fused step (Pallas interpret on CPU)
+    ref = DeviceHIXF(index.hixf, engine="pallas")
+    ref._interpret = True
+    assert ref.e2e_capable(thresholder)
+    e_vals, e_users, e_counts, e_nemit, e_hcap = ref.e2e_async(
+        packed, lengths, scheme, thresholder)()
+
+    # bin-sharded over a (2 reads x 4 bins) mesh
+    mesh = make_mesh(2, 4)
+    dhixf = DeviceHIXF(index.hixf, mesh=mesh)
+    dhixf._interpret = True
+    assert dhixf.e2e_capable(thresholder)
+    vals, users, counts, n_emit, hcap = dhixf.e2e_async(
+        packed, lengths, scheme, thresholder)()
+
+    assert hcap == e_hcap
+    np.testing.assert_array_equal(counts, e_counts)
+    np.testing.assert_array_equal(n_emit, e_nemit)
+    np.testing.assert_array_equal(vals, e_vals)
+    np.testing.assert_array_equal(users, e_users)
