@@ -70,6 +70,21 @@ def _add_search(sub):
     p.add_argument("--error-rate", type=float, default=0.04)
     p.add_argument("--engine", default="device",
                    choices=["device", "host", "sharded"])
+    p.add_argument("--mesh-reads", type=int, default=0,
+                   help="reads-axis size of the sharded engine's mesh "
+                        "(0 = all devices / --mesh-bins)")
+    p.add_argument("--mesh-bins", type=int, default=0,
+                   help="bins-axis size of the sharded engine's mesh "
+                        "(0 = one shard per host)")
+    p.add_argument("--distributed", action="store_true",
+                   help="initialize the multi-host JAX runtime "
+                        "(jax.distributed) before searching; every host "
+                        "runs the same command")
+    p.add_argument("--coordinator-address", default=None,
+                   help="host:port of process 0 (defaults to the "
+                        "environment, e.g. TPU pod metadata)")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     p.add_argument("--write-time", action="store_true")
     p.add_argument("--profile-trace", default="",
                    help="write a jax.profiler trace of the compute phase "
@@ -129,6 +144,12 @@ def main(argv: list[str] | None = None) -> int:
                 spill_dir=args.spill_dir,
             ))
         elif args.command == "search":
+            if args.distributed:
+                from .device.distributed import initialize
+
+                initialize(coordinator_address=args.coordinator_address,
+                           num_processes=args.num_processes,
+                           process_id=args.process_id)
             from .search.pipeline import SearchConfig, run_search
 
             run_search(SearchConfig(
@@ -139,6 +160,8 @@ def main(argv: list[str] | None = None) -> int:
                 percentage=args.percentage,
                 error_rate=args.error_rate,
                 engine=args.engine,
+                mesh_reads=args.mesh_reads,
+                mesh_bins=args.mesh_bins,
                 write_time=args.write_time,
                 profile_trace=args.profile_trace,
             ))

@@ -41,11 +41,15 @@ def initialize(coordinator_address: str | None = None,
 def global_mesh(reads_shards: int | None = None,
                 bin_shards: int | None = None):
     """reads x bins mesh over the global device list.  Defaults: shard
-    bins across hosts (index parallel) and reads across the devices of
-    each host (data parallel)."""
+    bins across hosts (index parallel — each host's HBM holds a slice of
+    the fingerprint matrix) and reads across the devices of each host
+    (data parallel).  jax.devices() is process-major, so the device grid
+    is laid out (bins, reads) then transposed: the bins axis then spans
+    processes (DCN) while the reads axis stays within a host (ICI)."""
     import jax
+    import numpy as np
 
-    from .sharding import make_mesh
+    from jax.sharding import Mesh
 
     devices = jax.devices()
     n = len(devices)
@@ -53,4 +57,6 @@ def global_mesh(reads_shards: int | None = None,
         bin_shards = max(1, jax.process_count())
     if reads_shards is None:
         reads_shards = max(1, n // bin_shards)
-    return make_mesh(reads_shards, bin_shards, devices)
+    arr = np.array(devices[: reads_shards * bin_shards])
+    arr = arr.reshape(bin_shards, reads_shards).T
+    return Mesh(arr, ("reads", "bins"))

@@ -316,7 +316,9 @@ class DeviceHIXF:
             pass
 
         def collect():
-            packed = np.asarray(packed_dev)[:R0]
+            from .sharding import host_view
+
+            packed = host_view(packed_dev)[:R0]
             return (packed[:, :k], packed[:, k : 2 * k],
                     packed[:, 2 * k], packed[:, 2 * k + 1], hcap)
 
@@ -425,7 +427,9 @@ class DeviceHIXF:
             pass
 
         def collect():
-            packed = np.asarray(packed_dev)[:R0]
+            from .sharding import host_view
+
+            packed = host_view(packed_dev)[:R0]
             return (packed[:, :k], packed[:, k : 2 * k],
                     packed[:, 2 * k], packed[:, 2 * k + 1], hcap)
 
@@ -714,7 +718,12 @@ class DeviceHIXF:
                         jnp.asarray(fpr),
                         jnp.asarray(m),
                     )
-            run_sums[i] = np.asarray(sums).astype(np.int64)
+            if self.mesh is not None:
+                from .sharding import host_view
+
+                run_sums[i] = host_view(sums).astype(np.int64)
+            else:
+                run_sums[i] = np.asarray(sums).astype(np.int64)
             # schedule children
             for r, c in enumerate(dixf.run_children):
                 c = int(c)

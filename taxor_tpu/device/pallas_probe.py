@@ -136,6 +136,117 @@ def _kernel(pos_ref, fpr_ref, cnt_ref, fp_ref, out_ref):
     jax.lax.fori_loop(0, RT, read_body, 0)
 
 
+# ---------------------------------------------------------------------- #
+# wide-row kernel: bins >= 4096
+# ---------------------------------------------------------------------- #
+# A dynamic row read of a 2-D [S, BT4] VMEM block lands on sublane p%8 of
+# vreg p//8, costing a sublane rotate per load.  When a row spans >= 8
+# vregs (B4 >= 1024 words, i.e. >= 4096 bins) the table reshapes to
+# [S, 8, B4/8]: the last two dims tile exactly onto (sublane, lane), so
+# fp_ref[p] IS a run of whole aligned vregs — one load per vreg, no
+# rotates.  Per hash: 3 row loads + 3 XORs + SWAR at FULL [8, lanes]
+# width.  This is the GTDB-scale fast path; narrow indexes keep the
+# sublane kernel whose stacked-SWAR amortization wins there.
+
+_WIDE_MIN_B4 = 1024  # packed words per row required for the wide layout
+_WIDE_UNROLL = 4
+
+
+def _kernel_wide(pos_ref, fpr_ref, cnt_ref, fp_ref, out_ref):
+    """One (bin_tile, read_tile) grid cell, wide layout.
+
+    pos_ref: int32 [RT, 1, H*3] (SMEM)
+    fpr_ref: int32 [RT, 1, H]   (SMEM) fingerprint replicated to 4 bytes
+    cnt_ref: int32 [RT, 1, 1]   (SMEM) bodies = ceil(valid / _WIDE_UNROLL)
+    fp_ref:  int32 [S+1, 8, BTW] (VMEM) packed fingerprints, row-major
+                                 word j*BTW_total+w at (slot, j, w)
+    out_ref: int32 [RT, 4, 8, BTW] per-byte-lane counts
+    """
+    BTW = fp_ref.shape[2]
+    U = _WIDE_UNROLL
+
+    def read_body(r, _):
+        nb = cnt_ref[r, 0, 0]
+
+        def hash_body(hu, packed):
+            acc = packed
+            for u in range(U):
+                h = hu * U + u
+                p0 = pos_ref[r, 0, 3 * h]
+                p1 = pos_ref[r, 0, 3 * h + 1]
+                p2 = pos_ref[r, 0, 3 * h + 2]
+                f4 = fpr_ref[r, 0, h]
+                x = fp_ref[p0] ^ fp_ref[p1] ^ fp_ref[p2] ^ f4  # [8, BTW]
+                nz = ((x & _LOW7) + _LOW7) | x
+                hits = jax.lax.shift_right_logical((~nz) & _SIGN, 7)
+                acc = acc + hits
+            return acc
+
+        def chunk_body(ci, accs):
+            a0, a1, a2, a3 = accs
+            lo = ci * _FLUSH_BODIES
+            hi = jnp.minimum(nb, lo + _FLUSH_BODIES)
+            packed = jax.lax.fori_loop(
+                lo, hi, hash_body, jnp.zeros((8, BTW), jnp.int32)
+            )
+            a0 = a0 + (packed & _B0)
+            a1 = a1 + (jax.lax.shift_right_logical(packed, 8) & _B0)
+            a2 = a2 + (jax.lax.shift_right_logical(packed, 16) & _B0)
+            a3 = a3 + jax.lax.shift_right_logical(packed, 24)
+            return (a0, a1, a2, a3)
+
+        zero = jnp.zeros((8, BTW), jnp.int32)
+        nc = (nb + _FLUSH_BODIES - 1) // _FLUSH_BODIES
+        a0, a1, a2, a3 = jax.lax.fori_loop(
+            0, nc, chunk_body, (zero, zero, zero, zero)
+        )
+        out_ref[r, 0] = a0
+        out_ref[r, 1] = a1
+        out_ref[r, 2] = a2
+        out_ref[r, 3] = a3
+        return 0
+
+    jax.lax.fori_loop(0, pos_ref.shape[0], read_body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("bin_tile4", "interpret"))
+def _probe_call_wide(fp_packed, pos, fpr4, bodies, bin_tile4, interpret):
+    """Wide-row probe: fp_packed [S1, B4] with B4 % _WIDE_MIN_B4 == 0 and
+    bin_tile4 % _WIDE_MIN_B4 == 0.  Same contract as _probe_call."""
+    R, _, H3 = pos.shape
+    H = H3 // 3
+    S1, B4 = fp_packed.shape
+    RT = _READ_TILE
+    BTW = bin_tile4 // 8
+    fp3 = fp_packed.reshape(S1, 8, B4 // 8)
+    grid = (B4 // bin_tile4, R // RT)
+    out = pl.pallas_call(
+        _kernel_wide,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((RT, 1, H3), lambda j, r: (r, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((RT, 1, H), lambda j, r: (r, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((RT, 1, 1), lambda j, r: (r, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((S1, 8, BTW), lambda j, r: (0, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((RT, 4, 8, BTW),
+                               lambda j, r: (r, 0, 0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((R, 4, 8, B4 // 8), jnp.int32),
+        interpret=interpret,
+    )(pos, fpr4, bodies, fp3)
+    # bin 4*(j*(B4/8)+w)+c lives at out[:, c, j, w]
+    return jnp.moveaxis(out, 1, 3).reshape(R, 4 * B4)
+
+
+def _wide_eligible(B4: int, bin_tile4: int) -> bool:
+    return (B4 % _WIDE_MIN_B4 == 0 and bin_tile4 % _WIDE_MIN_B4 == 0)
+
+
 @functools.partial(jax.jit, static_argnames=("bin_tile4", "interpret"))
 def _probe_call(fp_packed, pos, fpr4, bodies, bin_tile4, interpret):
     R, _, H3 = pos.shape
@@ -172,35 +283,39 @@ _H_CHUNK = 512
 
 
 def _probe_call_chunked(fp_packed, pos, f4i, valid, bin_tile4, interpret):
-    """_probe_call for arbitrary hash widths: the hash axis folds into
-    extra kernel rows of <= _H_CHUNK slots whose counts sum back per
-    read.  Because dedup leaves hashes sorted with the invalid tail
-    last, trailing sub-rows get a zero trip count — near-free.  pos is
-    [R, H, 3] (NOT flattened), f4i [R, H] int32, valid [R, H] bool."""
+    """Probe for arbitrary hash widths: the hash axis folds into extra
+    kernel rows of <= _H_CHUNK slots whose counts sum back per read.
+    Because dedup leaves hashes sorted with the invalid tail last,
+    trailing sub-rows get a zero trip count — near-free.  pos is
+    [R, H, 3] (NOT flattened), f4i [R, H] int32, valid [R, H] bool.
+    Dispatches to the wide-row kernel when the geometry allows."""
     R, H, _ = pos.shape
+    B4 = fp_packed.shape[1]
+    wide = _wide_eligible(B4, bin_tile4)
+    call = _probe_call_wide if wide else _probe_call
+    unroll = _WIDE_UNROLL if wide else _HASH_UNROLL
     if H <= _H_CHUNK:
-        return _probe_call(fp_packed, pos.reshape(R, 1, H * 3),
-                           f4i[:, None, :], _body_counts(valid),
-                           bin_tile4, interpret)
+        return call(fp_packed, pos.reshape(R, 1, H * 3),
+                    f4i[:, None, :], _body_counts(valid, unroll),
+                    bin_tile4, interpret)
     assert H % _H_CHUNK == 0
     nc = H // _H_CHUNK
     pos2 = pos.reshape(R * nc, 1, _H_CHUNK * 3)
     f4i2 = f4i.reshape(R * nc, 1, _H_CHUNK)
-    bodies = _body_counts(valid.reshape(R * nc, _H_CHUNK))
-    counts = _probe_call(fp_packed, pos2, f4i2, bodies, bin_tile4,
-                         interpret)
+    bodies = _body_counts(valid.reshape(R * nc, _H_CHUNK), unroll)
+    counts = call(fp_packed, pos2, f4i2, bodies, bin_tile4, interpret)
     return counts.reshape(R, nc, -1).sum(axis=1)
 
 
-def _body_counts(mask) -> "jnp.ndarray":
-    """ceil(valid_prefix_len / U) loop bodies per read.  Uses the LAST
-    true position (not the sum) so interior-false masks stay correct —
-    those slots are sentinel-probed and contribute nothing."""
+def _body_counts(mask, unroll: int = _HASH_UNROLL) -> "jnp.ndarray":
+    """ceil(valid_prefix_len / unroll) loop bodies per read.  Uses the
+    LAST true position (not the sum) so interior-false masks stay
+    correct — those slots are sentinel-probed and contribute nothing."""
     H = mask.shape[1]
     any_valid = mask.any(axis=1)
     last = H - jnp.argmax(mask[:, ::-1], axis=1)
     valid_len = jnp.where(any_valid, last, 0)
-    bodies = (valid_len + _HASH_UNROLL - 1) // _HASH_UNROLL
+    bodies = (valid_len + unroll - 1) // unroll
     return bodies.astype(jnp.int32)[:, None, None]
 
 
@@ -321,8 +436,16 @@ def prepare_fingerprints(fingerprints: np.ndarray) -> np.ndarray:
 
 
 def choose_bin_tile4(slots_plus_1: int, b4: int) -> int | None:
-    """Largest lane-multiple packed tile fitting the VMEM budget."""
+    """Largest lane-multiple packed tile fitting the VMEM budget.  When
+    the row is wide enough for the rotate-free kernel (_kernel_wide),
+    prefer a _WIDE_MIN_B4-multiple tile so it stays eligible."""
     max_bt = _FP_VMEM_BUDGET // max(1, 4 * slots_plus_1)
+    if b4 % _WIDE_MIN_B4 == 0:
+        bt = min(b4, (max_bt // _WIDE_MIN_B4) * _WIDE_MIN_B4)
+        if bt >= _WIDE_MIN_B4:
+            while b4 % bt:
+                bt -= _WIDE_MIN_B4
+            return bt
     bt = min(b4, (max_bt // _LANE) * _LANE)
     if bt < _LANE:
         return None
@@ -347,16 +470,15 @@ def probe_counts_pallas(
     sentinel = S1 - 1
     R, H = mask.shape
     rpad = (-R) % _READ_TILE
-    hpad = (-H) % _HASH_UNROLL
+    hpad = (-H) % (_H_CHUNK if H > _H_CHUNK else _HASH_UNROLL)
     if rpad or hpad:
         positions = np.pad(positions, ((0, rpad), (0, hpad), (0, 0)))
         fprints = np.pad(fprints, ((0, rpad), (0, hpad)))
         mask = np.pad(mask, ((0, rpad), (0, hpad)))
     pos = np.where(mask[:, :, None], positions, sentinel).astype(np.int32)
-    pos_flat = pos.reshape(pos.shape[0], 1, -1)
     f = np.where(mask, fprints.astype(np.uint32), 1)
     f4 = (f * np.uint32(0x01010101)).astype(np.uint32).view(np.int32)
-    out = _probe_call(fp_packed, jnp.asarray(pos_flat),
-                      jnp.asarray(f4[:, None, :]),
-                      _body_counts(jnp.asarray(mask)), bt4, interpret)
+    out = _probe_call_chunked(fp_packed, jnp.asarray(pos),
+                              jnp.asarray(f4), jnp.asarray(mask),
+                              bt4, interpret)
     return out[:R] if rpad else out

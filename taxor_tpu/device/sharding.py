@@ -29,6 +29,18 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from .probe import count_xla
 
 
+def host_view(x) -> np.ndarray:
+    """Materialize a (possibly multi-process, globally sharded) device
+    array on THIS host.  Single-process: plain np.asarray.  Multi-process
+    (jax.distributed): an allgather over processes so every host sees the
+    full result — the device->host boundary of the distributed search."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)
+
+
 def make_mesh(n_reads_shards: int, n_bin_shards: int,
               devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()

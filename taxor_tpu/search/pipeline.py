@@ -458,7 +458,18 @@ def run_search(config: SearchConfig) -> None:
 
     from ..utils.logging import maybe_profile
 
-    with open(config.report_file, "w") as out, \
+    report_file = config.report_file
+    if config.engine == "sharded":
+        import jax
+
+        if jax.process_count() > 1 and jax.process_index() != 0:
+            # multi-host: every process computes the full result (counts
+            # are allgathered); only process 0 writes the report
+            import os
+
+            report_file = os.devnull
+
+    with open(report_file, "w") as out, \
             maybe_profile(config.profile_trace):
         out.write(HEADER)
         timings = {"index_io": 0.0, "reads_io": 0.0, "compute": 0.0}
@@ -476,16 +487,25 @@ def run_search(config: SearchConfig) -> None:
 
                     t0 = time.perf_counter()
                     n_dev = len(jax.devices())
-                    bins = config.mesh_bins or (2 if n_dev >= 2 else 1)
-                    reads = config.mesh_reads or max(1, n_dev // bins)
-                    mesh = make_mesh(reads, bins)
+                    if jax.process_count() > 1:
+                        # multi-host: bins shard across hosts (each
+                        # host's HBM holds an index slice), reads across
+                        # the devices within each host
+                        from ..device.distributed import global_mesh
+
+                        mesh = global_mesh(config.mesh_reads or None,
+                                           config.mesh_bins or None)
+                    else:
+                        bins = config.mesh_bins or (2 if n_dev >= 2 else 1)
+                        reads = config.mesh_reads or max(1, n_dev // bins)
+                        mesh = make_mesh(reads, bins)
                     dhixf = DeviceHIXF(index.hixf, mesh=mesh)
                     timings["index_io"] += time.perf_counter() - t0
                 t = search_single(index, query, out, config, dhixf)
                 timings["reads_io"] += t["reads_io"]
                 timings["compute"] += t["compute"]
 
-    if config.write_time:
+    if config.write_time and report_file == config.report_file:
         with open(config.report_file + ".time", "w") as fh:
             fh.write("Index I/O\tReads I/O\tCompute\n")
             fh.write(

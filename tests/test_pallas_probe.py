@@ -115,3 +115,52 @@ def test_fused_step_matches_oracle_interpret():
         keys = hashes[r][m]
         expect = ixf.bulk_count(keys)
         np.testing.assert_array_equal(sums[r, :n_bins], expect)
+
+
+def test_wide_kernel_matches_oracle_interpret():
+    """The rotate-free wide-row kernel (bins >= 4096) must agree with the
+    brute-force oracle bit for bit, including interior-invalid masking
+    and the de-interleaved bin order."""
+    from taxor_tpu.device.pallas_probe import _wide_eligible
+
+    rng = np.random.default_rng(9)
+    n_bins = 4100  # pads to 4608 -> B4 = 1152... ensure wide-eligible pad
+    bins = [rng.integers(0, 2**63, 40, dtype=np.uint64)
+            for _ in range(n_bins)]
+    ixf = build_ixf(bins, max_elements_per_bin=64)
+    packed = prepare_fingerprints(ixf.fingerprints)
+    B4 = packed.shape[1]
+    if B4 % 1024:  # pad bins so the wide layout applies
+        packed = np.pad(packed, ((0, 0), (0, 1024 - B4 % 1024)))
+        B4 = packed.shape[1]
+    bt4 = choose_bin_tile4(packed.shape[0], B4)
+    assert _wide_eligible(B4, bt4)
+
+    R, H = 4, 40
+    pos = np.zeros((R, H, 3), np.int32)
+    fpr = np.zeros((R, H), np.uint8)
+    mask = np.zeros((R, H), bool)
+    for r in range(R):
+        keys = np.unique(np.concatenate([
+            bins[r][:8], rng.integers(0, 2**63, 24, dtype=np.uint64)
+        ]))[:H]
+        p, f, _ = compute_probes(keys, ixf.seed, ixf.block_length)
+        n = keys.shape[0]
+        pos[r, :n] = p
+        fpr[r, :n] = f
+        mask[r, :n] = True
+    # interior invalid slot: must be sentinel-probed, not counted
+    mask[0, 3] = False
+
+    import jax.numpy as jnp
+
+    out = np.asarray(
+        probe_counts_pallas(jnp.asarray(packed), pos, fpr, mask,
+                            interpret=True)
+    )
+    for r in range(R):
+        m = mask[r]
+        rows = ixf.fingerprints[pos[r][m]]
+        x = rows[:, 0] ^ rows[:, 1] ^ rows[:, 2] ^ fpr[r][m][:, None]
+        expect = (x == 0).sum(axis=0)
+        np.testing.assert_array_equal(out[r, :n_bins], expect)
