@@ -3,42 +3,59 @@
 Prints ONE JSON line to stdout: {"metric", "value", "unit", "vs_baseline"}.
 Progress goes to stderr.
 
-Protocol (BASELINE.md): the reference publishes no throughput numbers and
-cannot be built here (its deps are fetched from the network at build
-time), so the baseline proxy is this repo's own single-threaded numpy
-host oracle — the same per-read algorithm the reference executes — scaled
-by the reference's max thread count (32).  vs_baseline =
-device_reads_per_s / (32 * oracle_reads_per_s).  The synthetic workload
-approximates the viral config: open canonical syncmers k=22 s=12, 256
-reference genomes, 2 kb ONT-like reads with 2% substitution errors.
+Baseline protocol (BASELINE.md): the reference binary cannot be built here
+(its seqan3/chopper deps are fetched from the network at build time), so
+the baseline is the reference's full worker loop implemented honestly in
+C++ (-O3 -march=native, native/ref_baseline.cpp; correctness-tested
+against the host oracle).  `baseline_proxy` models the reference's
+32-core deployment as 32 x the measured single-thread rate — this bench
+host has 2 cores, so a literal 32-thread run here would UNDERstate the
+reference; the literal number is recorded alongside.
+
+Configs (BENCH detail.configs):
+  viral_flat_256   8192 x 2 kb reads, 256-genome flat index (viral-scale;
+                   the narrow-row probe kernel) — the primary metric
+  flat_4096        2048 reads, 4096-genome flat index (probe-dominated;
+                   the wide-row rotate-free kernel)
+  hier_1024        2048 reads, 1024 genomes, chopper-style tmax sweep
+                   layout (multi-level HIXF, fused descent)
+  stress_identical 1024 reads over 64 near-identical genomes: top-k
+                   truncation stress; reports the host-fallback fraction
+                   at k=16 and after one escalation step (k=64)
 
 Robustness: TPU kernel compiles go through a shared compile service whose
-latency is erratic (observed 0.7s..500s for identical kernels).  The
-device phase therefore runs with a wall-clock budget; if the first
-compile exceeds it the run reports the host numbers with
-"device_timeout": true rather than hanging the driver.  All shapes are
-deterministic, so one successful run warms the service cache for the
-next.
+latency is erratic (observed 0.7s..500s for identical kernels).  Each
+config checks the remaining wall-clock budget and later configs are
+skipped (reported as such) rather than hanging the driver.  All shapes
+are deterministic, so one successful run warms the persistent cache for
+the next.
 """
 
 from __future__ import annotations
 
+import functools
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
-DEVICE_BUDGET_S = 1500.0
+DEVICE_BUDGET_S = 2400.0
+_DEADLINE = time.monotonic() + DEVICE_BUDGET_S
 
 
 def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
+def budget_left() -> float:
+    return _DEADLINE - time.monotonic()
+
+
 def build_problem(n_species=256, genome_len=20000, n_reads=8192,
-                  read_len=2000, error_rate=0.02, seed=0):
-    import os
+                  read_len=2000, error_rate=0.02, seed=0,
+                  mutate_from_first=0.0):
     import tempfile
 
     sys.path.insert(0, os.path.join(os.path.dirname(
@@ -49,266 +66,281 @@ def build_problem(n_species=256, genome_len=20000, n_reads=8192,
     rng = np.random.default_rng(seed)
     tsv, gdir, genomes = make_ref_set(tmp, rng, n_species=n_species,
                                       genome_len=genome_len)
+    if mutate_from_first > 0.0:
+        # near-identical reference set: every genome is the FIRST genome
+        # with `mutate_from_first` point mutations — reads then hit many
+        # genomes with co-equal counts (top-k truncation stress)
+        base = genomes[sorted(genomes)[0]]
+        arr0 = np.frombuffer(base, dtype=np.uint8).copy()
+        bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+        for i, acc in enumerate(sorted(genomes)):
+            arr = arr0.copy()
+            nmut = int(len(arr) * mutate_from_first)
+            idx = rng.choice(len(arr), size=nmut, replace=False)
+            arr[idx] = bases[rng.integers(0, 4, nmut)]
+            genomes[acc] = arr.tobytes()
+            with open(os.path.join(gdir, f"{acc}_genomic.fna"), "wb") as fh:
+                fh.write(b">" + acc.encode() + b"\n" + genomes[acc] + b"\n")
     reads = make_reads(tmp, rng, genomes,
                        n_reads_per_genome=max(1, n_reads // n_species),
                        read_len=read_len, error_rate=error_rate)
     return tmp, tsv, gdir, reads
 
 
-def main():
+def _build_index(tsv, gdir, layout_mode="flat", tmax=0, threads=8):
     from taxor_tpu.apps.build import BuildConfig, run_build
-    from taxor_tpu.device.hixf_search import DeviceHIXF
-    from taxor_tpu.hash.schemes import search_hashes
-    from taxor_tpu.hash import schemes as _schemes
-    from taxor_tpu.io.fastx import read_all
-    from taxor_tpu.search.thresholds import Thresholder
 
-    _schemes.NUM_THREADS = 8
-    deadline = time.monotonic() + DEVICE_BUDGET_S
-
-    t0 = time.perf_counter()
-    tmp, tsv, gdir, reads_file = build_problem()
-    t_data = time.perf_counter() - t0
-    log(f"bench: data generated in {t_data:.1f}s")
-
-    t0 = time.perf_counter()
-    index = run_build(BuildConfig(
+    return run_build(BuildConfig(
         input_file=tsv, input_sequence_dir=gdir, output_filename="",
         kmer_size=22, syncmer_size=12, use_syncmer=True,
-        layout_mode="flat", layout_file="", threads=8,
+        layout_mode=layout_mode, tmax=tmax, layout_file="",
+        threads=threads,
     ))
-    t_build = time.perf_counter() - t0
-    log(f"bench: index built in {t_build:.1f}s "
-        f"({index.hixf.ixfs[0].bin_count} bins)")
 
-    records = read_all(reads_file)
-    seqs = [r.seq for r in records]
-    scheme = index.scheme
-    thresholder = Thresholder.make(scheme.kmer_size, scheme.window_size,
-                                   0.04, -1.0, scheme.use_syncmer)
 
-    t0 = time.perf_counter()
-    hash_lists = search_hashes(seqs, scheme)
-    t_hash = time.perf_counter() - t0
-    log(f"bench: hash extraction {t_hash:.2f}s for {len(seqs)} reads")
-
-    thresholds = np.array(
-        [thresholder.get(h.shape[0],
-                         h.shape[0] / (len(s) - scheme.kmer_size + 1.0))
-         for h, s in zip(hash_lists, seqs)], dtype=np.int64)
-
-    H = max(h.shape[0] for h in hash_lists)
-    Hpad = 1 << (H - 1).bit_length()
-    R = len(hash_lists)
-    hashes = np.zeros((R, Hpad), dtype=np.uint64)
-    mask = np.zeros((R, Hpad), dtype=bool)
-    for r, h in enumerate(hash_lists):
-        hashes[r, : h.shape[0]] = h
-        mask[r, : h.shape[0]] = True
-
-    # Honest CPU baseline: the reference's full worker loop (syncmer scan
-    # -> dedup -> threshold -> recursive HIXF membership -> 0.8*max
-    # filter) implemented in C++ (-O3 -march=native, threaded like
-    # do_parallel) — native/ref_baseline.cpp, correctness-tested against
-    # the host oracle in tests/test_baseline.py.  baseline_proxy models a
-    # 32-core machine as 32 x the single-thread rate (this bench host has
-    # few cores, so a literal 32-thread run here would UNDERstate the
-    # reference); the literal 32-thread-on-this-host number is recorded
-    # alongside.
-    import os as _os
-
+def _native_baseline(index, seqs, thresholder, sub=None):
+    """(reads/s 1 thread, reads/s literal 32 threads on this host)."""
     from taxor_tpu.native.baseline import baseline_search
 
+    seqs = seqs if sub is None else seqs[:sub]
     t0 = time.perf_counter()
-    _, _, _ = baseline_search(index.hixf, seqs, scheme, thresholder,
-                              threads=1)
-    t_oracle = time.perf_counter() - t0
-    oracle_reads_per_s = R / t_oracle
+    baseline_search(index.hixf, seqs, index.scheme, thresholder, threads=1)
+    r1 = len(seqs) / (time.perf_counter() - t0)
     t0 = time.perf_counter()
-    baseline_search(index.hixf, seqs, scheme, thresholder, threads=32)
-    native32_reads_per_s = R / (time.perf_counter() - t0)
-    baseline_proxy = 32 * oracle_reads_per_s
-    log(f"bench: native C++ baseline {oracle_reads_per_s:.0f} reads/s/thread "
-        f"(x32 extrapolated {baseline_proxy:.0f}; literal 32 threads on "
-        f"{_os.cpu_count()} cores {native32_reads_per_s:.0f})")
+    baseline_search(index.hixf, seqs, index.scheme, thresholder,
+                    threads=32)
+    r32 = len(seqs) / (time.perf_counter() - t0)
+    return r1, r32
 
-    # device phase in a worker thread so a runaway compile can't hang the
-    # driver; the thread is daemonic and abandoned on timeout
-    device = {}
 
-    def device_phase():
-        import jax
-        import jax.numpy as jnp
+def _rolled_timer(fn, roll_arg, *const_args, M=10):
+    """ms/pass of fn(roll_arg, *const_args): M passes inside ONE jit via
+    lax.scan, the rolled first argument defeating loop-invariant code
+    motion (each iteration sees a row-rotated batch — same workload)."""
+    import jax
+    import jax.numpy as jnp
 
-        from taxor_tpu.hash import device_syncmer as dsync
-        from taxor_tpu.search.pipeline import _pairs_from_e2e
+    @jax.jit
+    def multi(head, *rest):
+        def body(c, _):
+            out = fn(c, *rest)
+            return jnp.roll(c, 1, axis=0), out.reshape(-1)[0]
+        _, o = jax.lax.scan(body, head, None, length=M)
+        return o
 
-        dhixf = DeviceHIXF(index.hixf)
-        assert dhixf.flat_fast_path and dsync.supports(scheme)
-        dfs_rank = index.hixf.user_bin_dfs_order()
-        L = dsync.pad_len_bucket(max(len(s) for s in seqs))
-
-        def dispatch():
-            # 2-bit packing is part of the measured per-pass cost, as in
-            # the production pipeline (prepare step)
-            packed, lengths = dsync.pack_reads(seqs, L)
-            return dhixf.e2e_async(packed, lengths, scheme)
-
-        def drain(collect):
-            vals, users, counts, n_emit, hcap = collect()
-            return _pairs_from_e2e(vals, users, counts, n_emit, seqs,
-                                   index, scheme, thresholder, dfs_rank,
-                                   hcap)
-
-        log("bench: compiling fused e2e step ...")
+    np.asarray(multi(roll_arg, *const_args))  # compile + warm
+    best = 1e9
+    for _ in range(3):
         t0 = time.perf_counter()
-        first_pairs, _ = drain(dispatch())
-        log(f"bench: device compile+warmup {time.perf_counter()-t0:.1f}s")
+        np.asarray(multi(roll_arg, *const_args))
+        best = min(best, (time.perf_counter() - t0) / M)
+    return best
 
-        # (1) chip compute throughput — the primary metric.  Inputs stay
-        # device-resident; N back-to-back dispatches of the full fused
-        # step (extraction -> dedup -> probe -> top-k), forced once at
-        # the end.  This is what one chip sustains when fed at PCIe/DMA
-        # speed; the tunnel link of this test rig (tens of MB/s, see
-        # link_mb_per_s) is measured separately below.
+
+def _device_reads_per_s(index, seqs, thresholder, topk=16):
+    """Chip-compute reads/s of the fused search step (device-resident
+    inputs) + the host-fallback fraction of one real dispatch."""
+    import jax
+    import jax.numpy as jnp
+
+    from taxor_tpu.device.hixf_search import DeviceHIXF
+    from taxor_tpu.hash import device_syncmer as dsync
+    from taxor_tpu.hash.device_syncmer import hash_cap
+
+    scheme = index.scheme
+    dhixf = DeviceHIXF(index.hixf)
+    assert dhixf.e2e_capable(thresholder) and dsync.supports(scheme)
+    L = dsync.pad_len_bucket(max(len(s) for s in seqs))
+    packed, lengths = dsync.pack_reads(seqs, L)
+    from taxor_tpu.device.pallas_probe import _READ_TILE
+
+    rpad = (-len(seqs)) % _READ_TILE
+    if rpad:
+        packed = np.pad(packed, ((0, rpad), (0, 0)))
+        lengths = np.pad(lengths, (0, rpad))
+    R = packed.shape[0]
+    hcap = hash_cap(L)
+
+    # one real dispatch: correctness + fallback fraction
+    vals, users, counts, n_emit, _ = dhixf.e2e_async(
+        packed, lengths, scheme, thresholder, k=topk)()
+    kk = vals.shape[1]
+    nv = (vals >= 0).sum(axis=1)
+    fb = ((nv == kk) & (vals[:, kk - 1].astype(np.float64)
+                        >= vals[:, 0].astype(np.float64) * 0.8))
+    fb |= np.asarray(n_emit) > hcap
+    fb_frac = float(fb[: len(seqs)].mean())
+    classified = float((vals[: len(seqs), 0] > 0).mean())
+
+    pr = jax.device_put(packed)
+    ln = jax.device_put(lengths.astype(np.int32))
+
+    if len(dhixf.ixfs) == 1:
         from taxor_tpu.device.e2e import fused_e2e_step
         from taxor_tpu.device.pallas_probe import choose_bin_tile4
-        from taxor_tpu.hash.device_syncmer import hash_cap
 
-        packed, lengths = dsync.pack_reads(seqs, L)
-        pr = jax.device_put(packed)
-        ln = jax.device_put(lengths.astype(np.int32))
         dixf = dhixf.ixfs[0]
         users_dev = jnp.asarray(dixf.run_users.astype(np.int32))
         kw = dict(k=scheme.kmer_size, s=scheme.syncmer_size,
-                  t=scheme.t_syncmer, hcap=hash_cap(L), topk=16,
+                  t=scheme.t_syncmer, hcap=hcap, topk=topk,
                   bin_tile4=choose_bin_tile4(*dixf.fp.shape))
+        t = _rolled_timer(
+            lambda p, l: fused_e2e_step(
+                dixf.fp, p, l, dixf.run_onehot, users_dev,
+                dixf.seed_hi, dixf.seed_lo, dixf.bl_u32, **kw),
+            pr, ln)
+    else:
+        fn = dhixf._hixf_e2e_fn(scheme, topk)
+        tbl = jnp.asarray(dhixf._thr_table(thresholder, hcap))
+        t = _rolled_timer(
+            lambda p, l: fn(p, l, tbl, hcap=hcap), pr, ln)
+    return R / t, t, fb_frac, classified, dhixf
 
-        # M passes inside ONE jit (scan) so per-dispatch tunnel chatter
-        # can't pollute the number; each iteration sees row-rolled reads
-        # (same workload, defeats CSE).
-        import functools
 
-        M = 10
+def bench_config(name, *, n_species, genome_len, n_reads, read_len,
+                 layout_mode="flat", tmax=0, mutate=0.0, topk=16,
+                 baseline_sub=None, seed=0):
+    from taxor_tpu.io.fastx import read_all
+    from taxor_tpu.search.thresholds import Thresholder
 
-        @functools.partial(jax.jit, static_argnames=())
-        def multi_step(pr_, ln_):
-            def body(carry, _):
-                p, l2 = carry
-                out = fused_e2e_step(dixf.fp, p, l2, dixf.run_onehot,
-                                     users_dev, dixf.seed_hi,
-                                     dixf.seed_lo, dixf.bl_u32, **kw)
-                carry = (jnp.roll(p, 1, axis=0), jnp.roll(l2, 1))
-                return carry, out[0, 0]
-            _, probe = jax.lax.scan(body, (pr_, ln_), None, length=M)
-            return probe
+    t0 = time.perf_counter()
+    tmp, tsv, gdir, reads_file = build_problem(
+        n_species=n_species, genome_len=genome_len, n_reads=n_reads,
+        read_len=read_len, seed=seed, mutate_from_first=mutate)
+    index = _build_index(tsv, gdir, layout_mode=layout_mode, tmax=tmax)
+    t_build = time.perf_counter() - t0
+    seqs = [r.seq for r in read_all(reads_file)]
+    scheme = index.scheme
+    thresholder = Thresholder.make(scheme.kmer_size, scheme.window_size,
+                                   0.04, -1.0, scheme.use_syncmer)
+    r1, r32 = _native_baseline(index, seqs, thresholder, sub=baseline_sub)
+    baseline = 32 * r1
+    n_bins = index.hixf.ixfs[0].bin_count
+    log(f"bench[{name}]: built in {t_build:.1f}s, {len(index.hixf.ixfs)} "
+        f"IXF(s), root {n_bins} bins; native baseline {r1:.0f}/thread "
+        f"(32x => {baseline:.0f}; literal 32thr {r32:.0f})")
+    result = dict(name=name, n_species=n_species,
+                  root_bins=n_bins, n_ixfs=len(index.hixf.ixfs),
+                  read_len=read_len, n_reads=len(seqs),
+                  baseline_1thread_reads_per_s=round(r1, 1),
+                  baseline_32x_reads_per_s=round(baseline, 1),
+                  baseline_32thread_on_this_host_reads_per_s=round(r32, 1))
 
-        np.asarray(multi_step(pr, ln))  # warm/compile
-        t0 = time.perf_counter()
-        np.asarray(multi_step(pr, ln))
-        t_once = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        np.asarray(multi_step(pr, ln))
-        t_comp = min(t_once, time.perf_counter() - t0) / M
-        log(f"bench: chip compute {t_comp*1e3:.1f}ms/pass "
-            f"({R/t_comp:.0f} reads/s)")
-
-        # (2) host->device link probe: dependent tiny-sum forces each
-        # upload; reports effective MB/s of this rig's tunnel
-        redsum = jax.jit(lambda x: x.sum())
-        np.asarray(redsum(jnp.asarray(packed)))
-        t0 = time.perf_counter()
-        ups = [redsum(jnp.asarray(packed)) for _ in range(4)]
-        jax.block_until_ready(ups)
-        link_mbps = packed.nbytes * 4 / (time.perf_counter() - t0) / 1e6
-        log(f"bench: link {link_mbps:.0f} MB/s "
-            f"({packed.nbytes // R} B/read uploaded)")
-
-        # (3) full pipeline through the tunnel: worker threads own whole
-        # passes (pack, upload, compute, download, decode) so transfers
-        # multiplex with compute (same structure as search/pipeline.py)
-        from concurrent.futures import ThreadPoolExecutor
-
-        n_pass = 16
-        depth = 4
-
-        def one_pass(_):
-            drain(dispatch())
-            return time.perf_counter()
-
-        with ThreadPoolExecutor(depth) as ex:
-            list(ex.map(one_pass, range(depth)))  # warm per-worker state
-            t0 = time.perf_counter()
-            marks = sorted(ex.map(one_pass, range(n_pass)))
-        t_full = (marks[-1] - t0) / n_pass
-        log(f"bench: full pipeline {t_full*1e3:.1f}ms/pass "
-            f"({R/t_full:.0f} reads/s through the tunnel)")
-        device.update(
-            t_device=t_comp,
-            t_full=t_full,
-            link_mbps=link_mbps,
-            upload_bytes_per_read=packed.nbytes // R,
-            classified=float(np.mean([bool(p) for p in first_pairs])),
-            backend=jax.default_backend(),
-        )
-
+    # device phase in a worker thread so a runaway compile can't hang
+    # the driver
     import threading
+
+    dev: dict = {}
+
+    def device_phase():
+        rps, t, fb, cls, dhixf = _device_reads_per_s(
+            index, seqs, thresholder, topk=topk)
+        dev.update(rps=rps, t=t, fb=fb, cls=cls)
+        if mutate > 0.0:
+            # one escalation step of the pipeline's 16->64->256 ladder
+            rps2, t2, fb2, _, _ = _device_reads_per_s(
+                index, seqs, thresholder, topk=64)
+            dev.update(fb_k64=fb2, rps_k64=rps2)
 
     worker = threading.Thread(target=device_phase, daemon=True)
     worker.start()
-    worker.join(timeout=max(10.0, deadline - time.monotonic()))
+    worker.join(timeout=max(10.0, budget_left()))
+    if not dev:
+        log(f"bench[{name}]: device phase timed out")
+        result.update(device_timeout=True, vs_baseline=None)
+        return result, None
 
-    n_hashes_total = int(mask.sum())
-    bins = index.hixf.ixfs[0].bin_count
+    rps = dev["rps"]
+    log(f"bench[{name}]: chip compute {dev['t']*1e3:.1f}ms/pass "
+        f"({rps:.0f} reads/s, {rps/baseline:.2f}x baseline, "
+        f"fallback {dev['fb']*100:.2f}%, classified {dev['cls']:.3f})")
+    result.update(
+        device_compute_reads_per_s=round(rps, 1),
+        ms_per_pass=round(dev["t"] * 1e3, 2),
+        vs_baseline=round(rps / baseline, 3),
+        host_fallback_fraction=round(dev["fb"], 5),
+        classified_fraction=round(dev["cls"], 3),
+        index_build_s=round(t_build, 1),
+    )
+    if "fb_k64" in dev:
+        result["host_fallback_fraction_k64"] = round(dev["fb_k64"], 5)
+        result["device_compute_reads_per_s_k64"] = round(dev["rps_k64"], 1)
+    return result, index
 
-    if device:
-        t_dev = device["t_device"]
-        reads_per_s = R / t_dev
+
+def main():
+    import jax
+
+    from taxor_tpu.hash import schemes as _schemes
+
+    _schemes.NUM_THREADS = 8
+    backend = jax.default_backend()
+    log(f"bench: backend={backend}, budget {DEVICE_BUDGET_S:.0f}s")
+
+    configs = []
+    primary, _ = bench_config(
+        "viral_flat_256", n_species=256, genome_len=20000, n_reads=8192,
+        read_len=2000)
+    configs.append(primary)
+
+    for spec in (
+        dict(name="flat_4096", n_species=4096, genome_len=5000,
+             n_reads=2048, read_len=2000, baseline_sub=512),
+        dict(name="hier_1024", n_species=1024, genome_len=5000,
+             n_reads=2048, read_len=2000, layout_mode="auto", tmax=64,
+             baseline_sub=512),
+        dict(name="stress_identical", n_species=64, genome_len=20000,
+             n_reads=1024, read_len=2000, mutate=0.005,
+             baseline_sub=256),
+    ):
+        if budget_left() < 120:
+            log(f"bench: skipping {spec['name']} (budget exhausted)")
+            configs.append(dict(name=spec["name"], skipped=True))
+            continue
+        try:
+            cfg, _ = bench_config(**spec)
+            configs.append(cfg)
+        except Exception as e:  # report partial results, never hang
+            log(f"bench[{spec['name']}]: failed: {e!r}")
+            configs.append(dict(name=spec["name"], error=repr(e)))
+
+    value = primary.get("device_compute_reads_per_s")
+    if value is None:
         result = {
             "metric": "reads/s/chip classification throughput "
                       "(k=22,s=12 syncmers, 256-genome index, 2kb reads)",
-            "value": round(reads_per_s, 1),
+            "value": primary["baseline_32x_reads_per_s"],
             "unit": "reads/s",
-            "vs_baseline": round(reads_per_s / baseline_proxy, 3),
+            "vs_baseline": 1.0,
             "detail": {
-                "device_compute_reads_per_s": round(reads_per_s, 1),
-                "full_pipeline_reads_per_s": round(R / device["t_full"], 1),
-                "tunnel_link_mb_per_s": round(device["link_mbps"], 1),
-                "upload_bytes_per_read": device["upload_bytes_per_read"],
-                "note": "value = sustained chip compute (device-resident "
-                        "inputs; what a chip does behind PCIe/DMA). The "
-                        "full pipeline on this rig is bound by a "
-                        "remote-tunnel host<->device link whose bandwidth "
-                        "varies run to run; see tunnel_link_mb_per_s.",
-                "probes_per_s": round(n_hashes_total * 3 / t_dev, 0),
-                "probe_row_bytes_per_s": round(
-                    n_hashes_total * 3 * bins / t_dev, 0),
-                "baseline_1thread_reads_per_s": round(oracle_reads_per_s, 1),
-                "baseline_32thread_on_this_host_reads_per_s": round(
-                    native32_reads_per_s, 1),
-                "baseline_proxy": "32-thread native C++ reference-algorithm "
-                                  "worker (32 x measured single-thread rate; "
-                                  "see native/ref_baseline.cpp)",
-                "hash_extraction_s_per_1024reads": round(t_hash, 2),
-                "classified_fraction": round(device["classified"], 3),
-                "index_build_s": round(t_build, 1),
-                "backend": device["backend"],
+                "device_timeout": True,
+                "note": "TPU compile service exceeded the bench budget; "
+                        "reporting the 32-thread native C++ baseline",
+                "configs": configs,
+                "backend": backend,
             },
         }
     else:
         result = {
             "metric": "reads/s/chip classification throughput "
                       "(k=22,s=12 syncmers, 256-genome index, 2kb reads)",
-            "value": round(baseline_proxy, 1),
+            "value": value,
             "unit": "reads/s",
-            "vs_baseline": 1.0,
+            "vs_baseline": primary["vs_baseline"],
             "detail": {
-                "device_timeout": True,
-                "note": "TPU compile service exceeded the bench budget; "
-                        "reporting the 32-thread native C++ baseline proxy",
-                "baseline_1thread_reads_per_s": round(oracle_reads_per_s, 1),
-                "hash_extraction_s_per_1024reads": round(t_hash, 2),
-                "index_build_s": round(t_build, 1),
+                "note": "value = sustained chip compute on the primary "
+                        "config (device-resident inputs). vs_baseline "
+                        "compares one chip against 32 x the single-thread "
+                        "native C++ reference-algorithm worker "
+                        "(native/ref_baseline.cpp) on the same inputs; "
+                        "see configs for the wide-index/hierarchical/"
+                        "stress shapes where the chip advantage scales.",
+                "baseline_proxy": "32-thread native C++ reference-"
+                                  "algorithm worker (32 x measured "
+                                  "single-thread rate)",
+                "configs": configs,
+                "backend": backend,
+                "host_cores": os.cpu_count(),
             },
         }
     print(json.dumps(result))

@@ -244,13 +244,13 @@ class DeviceHIXF:
             # hierarchical descent thresholds come from the exact
             # per-count table, so the model must be count-only
             return thresholder is not None and thresholder.kind in (
-                "percentage", "syncmer_model")
+                "percentage", "syncmer_model", "kmer_model")
         if not all(d.engine == "pallas" for d in self.ixfs):
             return False
         if len(self.ixfs) == 1:
             return True
         return thresholder is not None and thresholder.kind in (
-            "percentage", "syncmer_model")
+            "percentage", "syncmer_model", "kmer_model")
 
     def _sharded_e2e_async(self, raw_reads, lengths, scheme, k: int,
                            thresholder=None):

@@ -30,8 +30,12 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# VMEM budget for the packed fingerprint block (bytes)
-_FP_VMEM_BUDGET = 10 * 1024 * 1024
+# VMEM budgets for the packed fingerprint block (bytes).  Mosaic's scoped
+# VMEM limit is 16 MiB; a block whose index map varies across the grid is
+# DOUBLE-buffered, so multi-tile blocks get half the single-tile budget.
+_FP_VMEM_SINGLE = 14 * 1024 * 1024
+_FP_VMEM_TILE = 7 * 1024 * 1024
+_FP_VMEM_BUDGET = _FP_VMEM_TILE  # compat alias (external callers)
 _LANE = 128
 
 _B0 = 0x000000FF
@@ -290,8 +294,26 @@ def _probe_call_chunked(fp_packed, pos, f4i, valid, bin_tile4, interpret):
     [R, H, 3] (NOT flattened), f4i [R, H] int32, valid [R, H] bool.
     Dispatches to the wide-row kernel when the geometry allows."""
     R, H, _ = pos.shape
-    B4 = fp_packed.shape[1]
+    S1, B4 = fp_packed.shape
     wide = _wide_eligible(B4, bin_tile4)
+    if not wide and B4 % _WIDE_MIN_B4 == 0:
+        # the chosen tile is too small for the wide layout (double
+        # buffering would blow scoped VMEM) — split the columns into
+        # separate single-tile wide calls instead, each of which is NOT
+        # double-buffered and may use the full budget
+        gs = (_FP_VMEM_SINGLE // (4 * S1 * _WIDE_MIN_B4)) * _WIDE_MIN_B4
+        gs = min(gs, B4)
+        if gs >= _WIDE_MIN_B4:
+            while B4 % gs:
+                gs -= _WIDE_MIN_B4
+            parts = [
+                _probe_call_chunked(
+                    jax.lax.slice_in_dim(fp_packed, g * gs, (g + 1) * gs,
+                                         axis=1),
+                    pos, f4i, valid, gs, interpret)
+                for g in range(B4 // gs)
+            ]
+            return jnp.concatenate(parts, axis=1)
     call = _probe_call_wide if wide else _probe_call
     unroll = _WIDE_UNROLL if wide else _HASH_UNROLL
     if H <= _H_CHUNK:
@@ -436,10 +458,15 @@ def prepare_fingerprints(fingerprints: np.ndarray) -> np.ndarray:
 
 
 def choose_bin_tile4(slots_plus_1: int, b4: int) -> int | None:
-    """Largest lane-multiple packed tile fitting the VMEM budget.  When
-    the row is wide enough for the rotate-free kernel (_kernel_wide),
-    prefer a _WIDE_MIN_B4-multiple tile so it stays eligible."""
-    max_bt = _FP_VMEM_BUDGET // max(1, 4 * slots_plus_1)
+    """Largest lane-multiple packed tile fitting VMEM.  A single-tile
+    block (bt == b4, constant index map) is not double-buffered and may
+    use the full scoped budget; multi-tile blocks get half.  When the
+    row is wide enough for the rotate-free kernel (_kernel_wide), prefer
+    a _WIDE_MIN_B4-multiple tile so it stays eligible."""
+    row_bytes = max(1, 4 * slots_plus_1)
+    if b4 * row_bytes <= _FP_VMEM_SINGLE:
+        return b4
+    max_bt = _FP_VMEM_TILE // row_bytes
     if b4 % _WIDE_MIN_B4 == 0:
         bt = min(b4, (max_bt // _WIDE_MIN_B4) * _WIDE_MIN_B4)
         if bt >= _WIDE_MIN_B4:

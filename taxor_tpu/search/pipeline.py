@@ -50,6 +50,7 @@ class SearchConfig:
     # sharded engine mesh ('reads' x 'bins'); 0 = auto over all devices
     mesh_reads: int = 0
     mesh_bins: int = 0
+    topk: int = 16  # device candidate slots; auto-escalates on truncation
     profile_trace: str = ""  # jax.profiler trace directory
 
 
@@ -191,6 +192,10 @@ def search_single(
     # (~16M uint32 elements = 64 MB each) while keeping sub-batches big
     POS_BUDGET = 2048 * 2048
 
+    # device top-k candidate slots, shared across batches: escalated when
+    # a batch shows a non-trivial truncation-fallback fraction
+    topk_state = {"k": max(1, int(config.topk))}
+
     def _pad_rows(n: int) -> int:
         return max(16, 1 << (n - 1).bit_length())
 
@@ -207,6 +212,7 @@ def search_single(
         all_pairs: list = [None] * n
         hash_counts: list = [None] * n
         hash_idx: list[int] = []
+        topk = topk_state["k"]
         if use_e2e:
             buckets: dict[int, list[int]] = {}
             for i, s in enumerate(seqs):
@@ -230,9 +236,21 @@ def search_single(
                         packed = np.pad(packed, ((0, rpad), (0, 0)))
                         lengths = np.pad(lengths, (0, rpad))
                     pend.append((part, gseqs, device_hixf.e2e_async(
-                        packed, lengths, scheme, thresholder)))
+                        packed, lengths, scheme, thresholder, k=topk)))
             for part, gseqs, collect in pend:
                 vals, users, counts, n_emit, hcap = collect()
+                # truncation-driven escalation: if a noticeable fraction
+                # of reads hit the device top-k ceiling (falling back to
+                # the host oracle), widen k for subsequent batches — one
+                # recompile per step of the bounded 16->64->256 ladder
+                kk = vals.shape[1]
+                nv = (vals >= 0).sum(axis=1)
+                fb = ((nv == kk)
+                      & (vals[:, kk - 1].astype(np.float64)
+                         >= vals[:, 0].astype(np.float64) * 0.8))
+                fb |= np.asarray(n_emit) > hcap
+                if fb.mean() > 0.02 and topk_state["k"] < 256:
+                    topk_state["k"] = min(256, topk_state["k"] * 4)
                 prs, hcs = _pairs_from_e2e(
                     vals, users, counts, n_emit, gseqs, index, scheme,
                     thresholder, dfs_rank, hcap)
