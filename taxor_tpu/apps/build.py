@@ -41,6 +41,14 @@ class BuildConfig:
     layout_file: str = "binning.out"
     tmax: int = 4096
     spill_dir: str = ""  # bound peak RSS via on-disk hash files
+    verbose_stats: bool = False  # --output-verbose-statistics
+    # counting-stage artifacts: <prefix>.count + <prefix>_sketches/
+    # (the reference always leaves chopper.count + sketch dir behind,
+    # taxor_build.cpp:437-442); empty = don't emit
+    count_output_prefix: str = ""
+    # resume: reuse an existing layout_file (skips counting + DP — the
+    # analog of restarting the reference after the binning.out stage)
+    resume: bool = False
 
 
 def sanity_checks(config: BuildConfig) -> None:
@@ -98,8 +106,10 @@ def make_layout(
         return flat_layout(ordered_files)
     from ..hixf.binning import compute_layout_from_hashes
 
-    return compute_layout_from_hashes(file_hashes, clusters,
-                                      tmax=config.tmax)
+    return compute_layout_from_hashes(
+        file_hashes, clusters, tmax=config.tmax,
+        verbose=config.verbose_stats,
+        artifacts_prefix=config.count_output_prefix)
 
 
 def run_build(config: BuildConfig) -> TaxorIndex:
@@ -130,9 +140,15 @@ def run_build(config: BuildConfig) -> TaxorIndex:
         all_files, scheme, spill_dir=config.spill_dir or None
     )
 
-    layout = make_layout(config, clusters, scheme, file_hashes)
-    if config.layout_file:
-        write_layout(layout, config.layout_file)
+    if config.resume and config.layout_file and \
+            os.path.exists(config.layout_file):
+        from ..hixf.layout import parse_layout
+
+        layout = parse_layout(config.layout_file)
+    else:
+        layout = make_layout(config, clusters, scheme, file_hashes)
+        if config.layout_file:
+            write_layout(layout, config.layout_file)
 
     def hash_fn(filenames: list[str]):
         parts = [file_hashes.get(f) for f in filenames]

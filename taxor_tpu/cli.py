@@ -55,6 +55,15 @@ def _add_build(sub):
     p.add_argument("--spill-dir", default="",
                    help="spill per-genome hash sets to this directory to "
                         "bound peak RAM (GTDB-scale builds)")
+    p.add_argument("--output-verbose-statistics", action="store_true",
+                   help="Enable verbose statistics to be printed")
+    p.add_argument("--count-output-prefix", default="chopper",
+                   help="prefix for the counting-stage artifacts "
+                        "(<prefix>.count + <prefix>_sketches/); '' "
+                        "disables them")
+    p.add_argument("--resume", action="store_true",
+                   help="reuse an existing layout file (binning.out) "
+                        "instead of recounting + re-running the layout DP")
     return p
 
 
@@ -85,6 +94,10 @@ def _add_search(sub):
                         "environment, e.g. TPU pod metadata)")
     p.add_argument("--num-processes", type=int, default=None)
     p.add_argument("--process-id", type=int, default=None)
+    p.add_argument("--output-verbose-statistics", action="store_true",
+                   help="Enable verbose statistics to be printed "
+                        "(accepted for parity; unused, as in the "
+                        "reference's search path)")
     p.add_argument("--write-time", action="store_true")
     p.add_argument("--profile-trace", default="",
                    help="write a jax.profiler trace of the compute phase "
@@ -103,6 +116,10 @@ def _add_profile(sub):
     p.add_argument("--min-abundance", type=float, default=0.001)
     p.add_argument("--em-steps", type=int, default=100)
     p.add_argument("--threads", type=int, default=1)
+    p.add_argument("--output-verbose-statistics", action="store_true",
+                   help="Enable verbose statistics to be printed "
+                        "(accepted for parity; unused, as in the "
+                        "reference's profile path)")
     return p
 
 
@@ -142,6 +159,9 @@ def main(argv: list[str] | None = None) -> int:
                 layout_mode=args.layout,
                 tmax=args.tmax,
                 spill_dir=args.spill_dir,
+                verbose_stats=args.output_verbose_statistics,
+                count_output_prefix=args.count_output_prefix,
+                resume=args.resume,
             ))
         elif args.command == "search":
             if args.distributed:

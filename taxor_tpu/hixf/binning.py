@@ -274,15 +274,34 @@ def compute_layout_from_hashes(
     file_hashes,
     clusters: dict[str, list[str]],
     tmax: int = 4096,
+    verbose: bool = False,
+    artifacts_prefix: str = "",
 ) -> LayoutNode:
     """Layout for accession clusters given precomputed per-file hash sets.
     Runs the reference's t_max sweep (taxor_build.cpp:173-228): powers of
     two from 64 plus next_multiple_of_64(sqrt(n)), keeping the layout
     with the lowest expected query cost; stops as soon as the cost
-    worsens (force_all_binnings is off in the reference)."""
+    worsens (force_all_binnings is off in the reference).
+
+    verbose: print the per-tmax cost summary, the analog of chopper's
+    hibf_statistics::print_summary behind --output-verbose-statistics
+    (taxor_build.cpp:213).
+    artifacts_prefix: emit the counting-stage artifacts the reference
+    leaves behind (taxor_build.cpp:437-442): <prefix>.count (one line per
+    cluster: files;...<TAB>estimate<TAB>accession) and
+    <prefix>_sketches/<accession>.hll (HLL register dumps).  chopper
+    itself is not in the reference tree, so the exact byte format is
+    reconstructed from the call sites; the artifacts exist for build
+    RESUME (apps/build.py) and debugging, like the reference's."""
     def load(f):
         return file_hashes.get(f) if hasattr(file_hashes, "get") and not isinstance(file_hashes, dict) else file_hashes[f]
 
+    count_fh = None
+    if artifacts_prefix:
+        import os
+
+        os.makedirs(f"{artifacts_prefix}_sketches", exist_ok=True)
+        count_fh = open(f"{artifacts_prefix}.count", "w")
     entries: list[_Bin] = []
     for acc in clusters:
         files = clusters[acc]
@@ -291,13 +310,23 @@ def compute_layout_from_hashes(
             if len(files) > 1
             else load(files[0])
         )
+        sketch = make_sketch(hashes)
+        if count_fh is not None:
+            import os
+
+            count_fh.write(
+                f"{';'.join(files)}\t{int(sketch.estimate())}\t{acc}\n")
+            np.save(os.path.join(f"{artifacts_prefix}_sketches",
+                                 f"{acc}.hll.npy"), sketch.registers)
         entries.append(
             _Bin(
                 filenames=list(files),
                 count=float(hashes.shape[0]),
-                sketch=make_sketch(hashes),
+                sketch=sketch,
             )
         )
+    if count_fh is not None:
+        count_fh.close()
     # order by descending cardinality (ties broken by filename so the
     # layout is invariant to taxonomy-input order), then chain by
     # similarity (chopper: sort + rearrange_user_bins)
@@ -313,14 +342,22 @@ def compute_layout_from_hashes(
 
     best_node = None
     best_cost = np.inf
+    best_t = None
     for t in candidates:
         node = _build_node(entries, t)
         cost = _expected_query_cost(node)
+        if verbose:
+            print(f"## t_max = {t}\texpected query cost = {cost:.4f}",
+                  flush=True)
         if cost < best_cost:
             best_cost = cost
             best_node = node
+            best_t = t
         else:
             break
+    if verbose:
+        print(f"## chosen t_max = {best_t}\t(expected query cost "
+              f"{best_cost:.4f}, {n} user bins)", flush=True)
     return best_node
 
 

@@ -66,16 +66,30 @@ def _iter_fasta(fh) -> Iterator[SeqRecord]:
 
 
 def _iter_fastq(fh) -> Iterator[SeqRecord]:
-    # fh positioned just after the first '@'
+    # fh positioned just after the first '@'.  Multi-line (wrapped)
+    # sequence and quality blocks are supported, like seqan3's reader:
+    # sequence lines run until the '+' separator, quality lines until
+    # their accumulated length matches the sequence (quality lines may
+    # legitimately START with '@' or '+', so they are counted by length,
+    # never by marker).
     while True:
         header = fh.readline()
         if not header:
             return
-        seq = fh.readline().strip()
-        plus = fh.readline()
-        qual = fh.readline()
-        if not qual:
-            return
+        chunks: list[bytes] = []
+        line = fh.readline()
+        while line and not line.startswith(b"+"):
+            chunks.append(line.strip())
+            line = fh.readline()
+        if not line:
+            raise ValueError("malformed FASTQ: missing '+' line")
+        seq = b"".join(chunks)
+        qlen = 0
+        while qlen < len(seq):
+            qline = fh.readline()
+            if not qline:
+                raise ValueError("malformed FASTQ: truncated qualities")
+            qlen += len(qline.strip())
         yield SeqRecord(header.rstrip(b"\r\n").decode(), seq)
         nxt = fh.read(1)
         if not nxt:

@@ -118,12 +118,7 @@ def search_single(
         return np.array(
             [
                 thresholder.get(
-                    hc,
-                    float(hc)
-                    / (float(len(s)) - float(scheme.kmer_size) + 1.0)
-                    if len(s) != scheme.kmer_size - 1
-                    else 0.0,
-                )
+                    hc, _scaling_ratio(hc, len(s), scheme.kmer_size))
                 for hc, s in zip(hash_counts, seqs)
             ],
             dtype=np.int64,
@@ -403,14 +398,23 @@ def _pairs_from_e2e(vals, users, counts, n_emit, seqs, index, scheme,
     return pairs_per_read, hash_counts
 
 
+def _scaling_ratio(hash_count: int, seq_len: int, kmer_size: int) -> float:
+    """(double)hash_count / ((double)len - k + 1.0) with C double
+    semantics (taxor_search.cpp:263): seq_len == k-1 yields 0/0 = NaN
+    (hash_count is always 0 for such reads), which the fracminhash model
+    propagates to the size_t sentinel — 'no read can pass', exactly as
+    the reference binary computes it.  Only that model consumes the
+    ratio."""
+    denom = float(seq_len) - float(kmer_size) + 1.0
+    if denom == 0.0:
+        return float("nan") if hash_count == 0 else float("inf")
+    return float(hash_count) / denom
+
+
 def _read_threshold(thresholder, hash_count, seq_len, kmer_size):
     """The per-read threshold exactly as the host prepare computes it."""
-    ratio = (
-        float(hash_count) / (float(seq_len) - float(kmer_size) + 1.0)
-        if seq_len != kmer_size - 1
-        else 0.0
-    )
-    return int(thresholder.get(hash_count, ratio))
+    return int(thresholder.get(
+        hash_count, _scaling_ratio(hash_count, seq_len, kmer_size)))
 
 
 def _pairs_from_topk(vals, users, thresholds, hash_lists, index, dfs_rank):

@@ -10,7 +10,6 @@ from __future__ import annotations
 
 import contextlib
 import logging
-import time
 
 logger = logging.getLogger("taxor_tpu")
 
@@ -25,30 +24,6 @@ def setup_logging(verbose: bool = False) -> None:
         )
         logger.addHandler(h)
     logger.setLevel(level)
-
-
-class PhaseTimer:
-    """Accumulating wall-clock phase timers — the ``<out>.time`` analog
-    (taxor_search.cpp:156-158,328-336)."""
-
-    def __init__(self):
-        self.totals: dict[str, float] = {}
-
-    @contextlib.contextmanager
-    def phase(self, name: str):
-        t0 = time.perf_counter()
-        try:
-            yield
-        finally:
-            self.totals[name] = (
-                self.totals.get(name, 0.0) + time.perf_counter() - t0
-            )
-
-    def write(self, path: str, order: list[str]) -> None:
-        with open(path, "w") as fh:
-            fh.write("\t".join(order) + "\n")
-            fh.write("\t".join(f"{self.totals.get(k, 0.0):.2f}"
-                               for k in order))
 
 
 @contextlib.contextmanager

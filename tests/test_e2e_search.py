@@ -287,3 +287,48 @@ class TestLongReads:
         ids = {l.split("\t")[0] for l in lines}
         assert len(ids) == 6
         assert any(l.split("\t")[1] != "-" for l in lines)
+
+
+class TestBuildArtifactsAndResume:
+    def test_count_artifacts_and_layout_resume(self, ref_set, tmp_path):
+        """Counting-stage artifacts (chopper.count analog,
+        taxor_build.cpp:437-442) + resume from an existing layout file."""
+        import glob
+
+        from taxor_tpu.apps.build import BuildConfig, run_build
+
+        tmp, tsv, gdir, genomes, reads = ref_set
+        layout_file = str(tmp_path / "binning.out")
+        prefix = str(tmp_path / "chopper")
+        cfg = dict(
+            input_file=tsv, input_sequence_dir=gdir, output_filename="",
+            kmer_size=16, syncmer_size=8, use_syncmer=True,
+            layout_mode="auto", tmax=64, layout_file=layout_file,
+        )
+        idx1 = run_build(BuildConfig(**cfg, count_output_prefix=prefix))
+        # artifacts: one count line + one sketch per accession cluster
+        with open(prefix + ".count") as fh:
+            lines = [ln.split("\t") for ln in fh.read().splitlines()]
+        assert len(lines) == len(genomes)
+        for parts in lines:
+            assert len(parts) == 3 and int(parts[1]) > 0
+        assert len(glob.glob(prefix + "_sketches/*.hll.npy")) == len(genomes)
+
+        # resume: reuse the layout file; the rebuilt index must match
+        idx2 = run_build(BuildConfig(**cfg, resume=True))
+        assert len(idx2.hixf.ixfs) == len(idx1.hixf.ixfs)
+        for a, b in zip(idx1.hixf.ixfs, idx2.hixf.ixfs):
+            assert (a.fingerprints == b.fingerprints).all()
+
+    def test_verbose_stats_prints_sweep(self, ref_set, tmp_path, capsys):
+        from taxor_tpu.apps.build import BuildConfig, run_build
+
+        tmp, tsv, gdir, genomes, reads = ref_set
+        run_build(BuildConfig(
+            input_file=tsv, input_sequence_dir=gdir, output_filename="",
+            kmer_size=16, syncmer_size=8, use_syncmer=True,
+            layout_mode="auto", tmax=64,
+            layout_file=str(tmp_path / "b.out"), verbose_stats=True,
+        ))
+        out = capsys.readouterr().out
+        assert "expected query cost" in out and "chosen t_max" in out

@@ -83,3 +83,28 @@ class TestTaxonomy:
         open(p, "w").write("GCF_1.1\t100\tftp://host/path/\tOrg\tk__V\t1\n")
         with pytest.raises(ValueError):
             parse_refseq_taxonomy_file(p)
+
+
+class TestMultiLineFastq:
+    def test_wrapped_sequence_and_quality(self, tmp_path):
+        from taxor_tpu.io.fastx import read_all
+
+        p = tmp_path / "w.fastq"
+        # wrapped records; quality lines legitimately starting with '@'/'+'
+        p.write_text(
+            "@r1\nACGTACGT\nAAAA\n+\n@@@@\nIIII\nAAAA\n"
+            "@r2 desc\nTTTT\nGG\n+r2\n+@II\nII\n"
+        )
+        recs = read_all(str(p))
+        assert [r.id for r in recs] == ["r1", "r2 desc"]
+        assert recs[0].seq == b"ACGTACGTAAAA"
+        assert recs[1].seq == b"TTTTGG"
+
+    def test_single_line_fastq_still_works(self, tmp_path):
+        from taxor_tpu.io.fastx import read_all
+
+        p = tmp_path / "s.fastq"
+        p.write_text("@a\nACGT\n+\nIIII\n@b\nGGCC\n+\nIIII\n")
+        recs = read_all(str(p))
+        assert [(r.id, r.seq) for r in recs] == [("a", b"ACGT"),
+                                                 ("b", b"GGCC")]
