@@ -157,3 +157,44 @@ class TestHierarchicalEndToEnd:
         correct = sum(1 for r in hits if r[1] == r[0].split("_", 1)[1])
         assert len(hits) >= 60
         assert correct / len(hits) > 0.9
+
+
+def test_layout_invariance_of_classification(tmp_path):
+    """Scaled-down DIVERGENCES.md #6 waiver experiment: radically
+    different layouts of the same reference set must agree on the top
+    accession for (nearly) every read — differences are bounded by the
+    filter's intrinsic false-positive noise."""
+    import os
+    import sys
+
+    import numpy as np
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from tools.layout_invariance import classify_rows
+
+    from taxor_tpu.apps.build import BuildConfig, run_build
+
+    from .util import make_reads, make_ref_set
+
+    tmp = str(tmp_path)
+    rng = np.random.default_rng(123)
+    tsv, gdir, genomes = make_ref_set(tmp, rng, n_species=40,
+                                      genome_len=2500)
+    reads = make_reads(tmp, rng, genomes, n_reads_per_genome=3,
+                       read_len=800, error_rate=0.03)
+    results = {}
+    for name, mode, tmax in (("flat", "flat", 0), ("t64", "auto", 64)):
+        index = run_build(BuildConfig(
+            input_file=tsv, input_sequence_dir=gdir, output_filename="",
+            kmer_size=16, syncmer_size=8, use_syncmer=True,
+            layout_mode=mode, tmax=tmax,
+            layout_file=os.path.join(tmp, f"{name}.out")))
+        results[name] = classify_rows(index, reads)
+    base, other = results["flat"], results["t64"]
+    agree = 0
+    for r in base:
+        a = max(base[r], key=lambda t: t[1], default=None)
+        b = max(other[r], key=lambda t: t[1], default=None)
+        agree += (a is None) == (b is None) and (a is None or a[0] == b[0])
+    assert agree >= 0.97 * len(base), f"{agree}/{len(base)}"
