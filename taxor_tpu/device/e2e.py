@@ -29,6 +29,84 @@ from ..utils.u64jnp import probe_positions_and_fprint4, wyhash64
 from .pallas_probe import _HASH_UNROLL, _probe_call_chunked
 
 
+def make_hixf_e2e_grouped_fn(groups, leaf_users, k: int, s: int, t: int,
+                             topk: int, interpret: bool = False):
+    """Fused hierarchical search with LEVEL-GROUPED probing.
+
+    IXFs sharing (seed, block_length) — which the builder's uniform level
+    geometry guarantees per tree depth (hixf/build.py) — concatenate
+    their fingerprint tables column-wise and probe as ONE kernel call:
+    probe positions are a function of (hash, seed, block_length) only,
+    so one [R, H] position set covers the whole group.  A 64-sibling
+    level costs one launch + one position computation instead of 64.
+    A read is probe-active for the group when active in ANY member; the
+    per-member active masks still gate descent and leaf emission, so the
+    result is bit-identical to per-IXF probing.
+
+    groups: ordered list (ancestors strictly before descendants) of
+      dicts with keys fp (device packed [S1, B4g]), onehot (device
+      [4*B4g, n_runs_g]), seed_hi/seed_lo/bl (traced u32 scalars),
+      bt4 (static), members: list of
+      (bfs_pos, run_off, n_runs, children [(local_run, child_bfs_pos)],
+       leaf_sel device int32 array of GLOBAL run indices within the
+       group's sums).
+    leaf_users: device int32, user bin per concatenated leaf column in
+      group/member order.
+    """
+    from .pallas_probe import _probe_call_chunked
+
+    @functools.partial(jax.jit, static_argnames=("hcap",))
+    def run(packed_reads, lengths, thr_table, hcap: int):
+        R = packed_reads.shape[0]
+        k_hi, k_lo, emit = syncmer_kmers(packed_reads, lengths, k, s, t)
+        khi_c, klo_c, valid, n_unique, n_emit = dedup_kmers(
+            k_hi, k_lo, emit, hcap, emission_min_gap(k, s, t))
+        hi, lo = wyhash64(khi_c, klo_c)
+        thr = thr_table[jnp.clip(n_unique, 0, thr_table.shape[0] - 1)]
+        active = {0: jnp.ones((R,), dtype=bool)}
+        leaf_vals = []
+        for g in groups:
+            acts = [active[m[0]] for m in g["members"]]
+            act_any = acts[0]
+            for a in acts[1:]:
+                act_any = act_any | a
+            pos, f4 = probe_positions_and_fprint4(
+                hi, lo, g["seed_hi"], g["seed_lo"], g["bl"])
+            S1 = g["fp"].shape[0]
+            pos = jnp.where(valid[..., None], pos, jnp.int32(S1 - 1))
+            f4 = jnp.where(valid, f4, jnp.uint32(0x01010101))
+            f4i = jax.lax.bitcast_convert_type(f4, jnp.int32)
+            counts = _probe_call_chunked(
+                g["fp"], pos, f4i, valid & act_any[:, None], g["bt4"],
+                interpret)
+            sums = jnp.dot(
+                counts.astype(jnp.float32), g["onehot"],
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.int32)
+            for (bfs_pos, run_off, _n_runs, children, leaf_sel), act in zip(
+                    g["members"], acts):
+                for local_run, child_pos in children:
+                    active[child_pos] = act & (
+                        sums[:, run_off + local_run] >= thr)
+                if leaf_sel.shape[0]:
+                    leaf_vals.append(
+                        jnp.where(act[:, None], sums[:, leaf_sel],
+                                  jnp.int32(-1)))
+        allv = jnp.concatenate(leaf_vals, axis=1)
+        kk = min(topk, allv.shape[1])
+        vals, idx = jax.lax.top_k(allv, kk)
+        users = leaf_users[idx]
+        users = jnp.where(vals >= 0, users, jnp.int32(-1))
+        if kk < topk:
+            pad = ((0, 0), (0, topk - kk))
+            vals = jnp.pad(vals, pad, constant_values=-1)
+            users = jnp.pad(users, pad, constant_values=-1)
+        return jnp.concatenate(
+            [vals, users, n_unique[:, None], n_emit[:, None]], axis=1)
+
+    return run
+
+
 def make_hixf_e2e_fn(dixfs, tree_children, leaf_runs, leaf_users,
                      k: int, s: int, t: int, topk: int,
                      interpret: bool = False):

@@ -446,38 +446,104 @@ class DeviceHIXF:
             tbl[c] = min(thresholder.get(c, 0.0), 2**31 - 1)
         return np.clip(tbl, 0, 2**31 - 1).astype(np.int32)
 
+    def _depths(self) -> dict[int, int]:
+        """ixf id -> tree depth (root = 0) via the parent links."""
+        depths = {0: 0}
+        for i in self.bfs_order[1:]:
+            depths[i] = depths[self.parent[i][0]] + 1
+        return depths
+
     def _hixf_e2e_fn(self, scheme, k: int):
-        """Cached hierarchical fused step (make_hixf_e2e_fn closure)."""
+        """Cached hierarchical fused step: IXFs sharing
+        (depth, seed, block_length, slots) probe as ONE grouped kernel
+        call (e2e.make_hixf_e2e_grouped_fn) — the builder's uniform level
+        geometry makes whole levels one group."""
         key = (scheme.kmer_size, scheme.syncmer_size, scheme.t_syncmer, k)
         cache = getattr(self, "_hixf_e2e_cache", None)
         if cache is None:
             cache = self._hixf_e2e_cache = {}
         if key not in cache:
-            from .e2e import make_hixf_e2e_fn
+            from .e2e import make_hixf_e2e_grouped_fn
+            from .pallas_probe import (choose_bin_tile4,
+                                       prepare_fingerprints)
 
             bfs_pos = {ixf_id: p for p, ixf_id in enumerate(self.bfs_order)}
-            dixfs = [self.ixfs[i] for i in self.bfs_order]
-            tree_children = []
-            leaf_runs = []
-            leaf_users_parts = []
+            depths = self._depths()
+            # group by (depth, seed, block_length): equal geometry ->
+            # shared probe positions; depth ordering keeps ancestors
+            # strictly before descendants
+            group_key_order: list[tuple] = []
+            group_members: dict[tuple, list[int]] = {}
             for i in self.bfs_order:
-                d = self.ixfs[i]
-                kids = []
-                leaves = []
-                for r, c in enumerate(d.run_children):
-                    if int(c) >= 0:
-                        kids.append((r, bfs_pos[int(c)]))
-                    else:
-                        leaves.append(r)
-                tree_children.append(kids)
-                leaf_runs.append(np.array(leaves, dtype=np.int32))
-                leaf_users_parts.append(
-                    d.run_users[np.array(leaves, dtype=np.int64)]
-                    if leaves else np.zeros(0, dtype=np.int64)
-                )
+                ixf = self.hixf.ixfs[i]
+                gk = (depths[i], ixf.seed, ixf.block_length)
+                if gk not in group_members:
+                    group_members[gk] = []
+                    group_key_order.append(gk)
+                group_members[gk].append(i)
+            group_key_order.sort(key=lambda gk: gk[0])
+
+            groups = []
+            leaf_users_parts = []
+            for gk in group_key_order:
+                members_meta = []
+                fp_parts = []
+                onehot_parts = []
+                run_off = 0
+                b4_off = 0
+                for i in group_members[gk]:
+                    ixf = self.hixf.ixfs[i]
+                    d = self.ixfs[i]
+                    fp = prepare_fingerprints(ixf.fingerprints)
+                    fp_parts.append(fp)
+                    starts, ends, users = self.hixf.runs_of_ixf(i)
+                    n_runs = starts.shape[0]
+                    onehot_parts.append(
+                        (b4_off, starts, ends, n_runs))
+                    kids = []
+                    leaves = []
+                    for r, c in enumerate(d.run_children):
+                        if int(c) >= 0:
+                            kids.append((r, bfs_pos[int(c)]))
+                        else:
+                            leaves.append(run_off + r)
+                    leaf_users_parts.append(
+                        users[users >= 0] if leaves else
+                        np.zeros(0, dtype=np.int64))
+                    members_meta.append(
+                        (bfs_pos[i], run_off, n_runs, kids,
+                         jnp.asarray(np.array(leaves, dtype=np.int32))))
+                    run_off += n_runs
+                    b4_off += fp.shape[1]
+                # pad members to a common slot count (geometry equal =>
+                # S1 equal already; defensive pad for reseeded stragglers
+                # that landed in their own group anyway)
+                S1 = max(f.shape[0] for f in fp_parts)
+                fp_parts = [
+                    np.pad(f, ((0, S1 - f.shape[0]), (0, 0)))
+                    for f in fp_parts]
+                fp_group = np.concatenate(fp_parts, axis=1)
+                B4g = fp_group.shape[1]
+                onehot = np.zeros((4 * B4g, run_off), dtype=np.float32)
+                roff = 0
+                for b4_off, starts, ends, n_runs in onehot_parts:
+                    for r, (a, b) in enumerate(zip(starts, ends)):
+                        onehot[4 * b4_off + a : 4 * b4_off + b,
+                               roff + r] = 1.0
+                    roff += n_runs
+                seed, bl = gk[1], gk[2]
+                groups.append(dict(
+                    fp=jnp.asarray(fp_group),
+                    onehot=jnp.asarray(onehot),
+                    seed_hi=jnp.uint32(seed >> 32),
+                    seed_lo=jnp.uint32(seed & 0xFFFFFFFF),
+                    bl=jnp.uint32(bl),
+                    bt4=choose_bin_tile4(S1, B4g),
+                    members=members_meta,
+                ))
             leaf_users = np.concatenate(leaf_users_parts)
-            cache[key] = make_hixf_e2e_fn(
-                dixfs, tree_children, leaf_runs, leaf_users,
+            cache[key] = make_hixf_e2e_grouped_fn(
+                groups, jnp.asarray(leaf_users.astype(np.int32)),
                 k=scheme.kmer_size, s=scheme.syncmer_size,
                 t=scheme.t_syncmer, topk=k,
                 interpret=getattr(self, "_interpret", False),

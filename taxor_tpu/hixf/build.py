@@ -160,11 +160,21 @@ def build_hixf_from_layout(
     hash_fn=None,
     spill_dir: str | None = None,
     threads: int = 1,
+    uniform_level_geometry: bool = True,
 ) -> tuple[HIXF, dict[str, int]]:
     """Build the full HIXF.  ``hash_fn(filenames) -> uint64 array`` may be
     injected for tests; defaults to hashing the FASTA files.  With
     ``spill_dir``, per-file hash sets and subtree unions live on disk and
     are loaded per node, bounding peak RSS to ~one IXF's contents.
+
+    uniform_level_geometry (documented divergence #13): every IXF at the
+    same tree depth is sized for the LEVEL's maximum bin cardinality, so
+    siblings share (block_length, seed) and the device traversal can
+    probe a whole level as ONE wide kernel call (probe positions are a
+    function of (hash, seed, block_length) only).  The reference sizes
+    each IXF individually (construct_ixf.cpp:28,58); equal sizing only
+    adds slack slots — membership semantics are unchanged, false-positive
+    noise re-rolls (see the layout-invariance waiver in DIVERGENCES.md).
 
     Returns (hixf, user_bin_of_filename) where filenames are joined with
     ';' per record like the reference (update_user_bins.cpp:24-29).
@@ -190,7 +200,23 @@ def build_hixf_from_layout(
 
     lock = _threading.Lock()
 
-    def build_node(node: LayoutNode, is_root: bool = False):
+    # two-phase when equalizing level geometry: phase 1 collects every
+    # node's per-bin hash lists (spilled when a spill dir is given),
+    # phase 2 sizes each level by its max bin cardinality and constructs
+    pending: list[tuple[int, int, object]] = []  # (ixf_pos, depth, bins)
+
+    def _stash_bins(ixf_pos: int, depth: int, per_bin):
+        if spill is not None:
+            keys = []
+            for b, arr in enumerate(per_bin):
+                key = f"bins_{ixf_pos}_{b}"
+                spill.put(key, arr)
+                keys.append(key)
+            pending.append((ixf_pos, depth, keys))
+        else:
+            pending.append((ixf_pos, depth, list(per_bin)))
+
+    def build_node(node: LayoutNode, is_root: bool = False, depth: int = 0):
         """Returns (ixf_pos, union-of-subtree hashes)."""
         with lock:
             ixf_pos = len(ixfs)
@@ -211,11 +237,12 @@ def build_hixf_from_layout(
 
             with ThreadPoolExecutor(max_workers=threads) as ex:
                 results = list(ex.map(
-                    lambda b: (b, build_node(node.children[b])),
+                    lambda b: (b, build_node(node.children[b],
+                                             depth=depth + 1)),
                     child_bins,
                 ))
         else:
-            results = [(b, build_node(node.children[b]))
+            results = [(b, build_node(node.children[b], depth=depth + 1))
                        for b in child_bins]
         for b, (child_pos, child_ref) in results:
             next_ids[ixf_pos][b] = child_pos
@@ -244,12 +271,16 @@ def build_hixf_from_layout(
                 rec.bin_index : rec.bin_index + rec.number_of_bins
             ] = ub
 
-        ixfs[ixf_pos] = build_ixf(per_bin)
         union = (
             np.unique(np.concatenate([b for b in per_bin if b.size]))
             if any(b.size for b in per_bin)
             else np.zeros(0, dtype=U64)
         )
+        if uniform_level_geometry:
+            with lock:
+                _stash_bins(ixf_pos, depth, per_bin)
+        else:
+            ixfs[ixf_pos] = build_ixf(per_bin)
         per_bin.clear()
         if spill is not None:
             key = f"union_{ixf_pos}"
@@ -258,6 +289,36 @@ def build_hixf_from_layout(
         return ixf_pos, union
 
     build_node(root, is_root=True)
+
+    if uniform_level_geometry:
+        # phase 2: size each level for its maximum bin cardinality so
+        # siblings share geometry; construct level by level
+        from collections import defaultdict
+
+        by_depth: dict[int, list[tuple[int, object]]] = defaultdict(list)
+        for ixf_pos, depth, bins_ref in pending:
+            by_depth[depth].append((ixf_pos, bins_ref))
+
+        def _load_bins(bins_ref):
+            if spill is not None:
+                return [spill.get(k) for k in bins_ref]
+            return bins_ref
+
+        for depth in sorted(by_depth):
+            level = by_depth[depth]
+            level_max = 0
+            for _, bins_ref in level:
+                for arr in _load_bins(bins_ref):
+                    # build_ixf dedups before sizing; match that here
+                    level_max = max(level_max,
+                                    int(np.unique(arr).shape[0]))
+            for ixf_pos, bins_ref in level:
+                ixfs[ixf_pos] = build_ixf(
+                    _load_bins(bins_ref),
+                    max_elements_per_bin=max(level_max, 1))
+                if spill is not None:
+                    for k in bins_ref:
+                        spill.pop(k)
     hixf = HIXF(
         ixfs=ixfs,
         next_ixf_id=next_ids,
