@@ -494,7 +494,10 @@ class DeviceHIXF:
                 for i in group_members[gk]:
                     ixf = self.hixf.ixfs[i]
                     d = self.ixfs[i]
-                    fp = prepare_fingerprints(ixf.fingerprints)
+                    # members pack tightly (4-bin words, no per-member
+                    # sentinel); only the GROUP pads to kernel lanes
+                    fp = prepare_fingerprints(ixf.fingerprints, lane=4,
+                                              sentinel=False)
                     fp_parts.append(fp)
                     starts, ends, users = self.hixf.runs_of_ixf(i)
                     n_runs = starts.shape[0]
@@ -518,11 +521,23 @@ class DeviceHIXF:
                 # pad members to a common slot count (geometry equal =>
                 # S1 equal already; defensive pad for reseeded stragglers
                 # that landed in their own group anyway)
-                S1 = max(f.shape[0] for f in fp_parts)
+                S = max(f.shape[0] for f in fp_parts)
                 fp_parts = [
-                    np.pad(f, ((0, S1 - f.shape[0]), (0, 0)))
+                    np.pad(f, ((0, S - f.shape[0]), (0, 0)))
                     for f in fp_parts]
                 fp_group = np.concatenate(fp_parts, axis=1)
+                # group-level padding: a 1024-word multiple unlocks the
+                # rotate-free wide kernel once rows get close to it;
+                # otherwise the 128-lane minimum
+                b4 = fp_group.shape[1]
+                target = (-(-b4 // 1024) * 1024 if b4 > 384
+                          else -(-b4 // 128) * 128)
+                fp_group = np.pad(fp_group, ((0, 0), (0, target - b4)))
+                # single zero sentinel row for the whole group
+                fp_group = np.vstack([
+                    fp_group,
+                    np.zeros((1, fp_group.shape[1]), np.int32)])
+                S1 = fp_group.shape[0]
                 B4g = fp_group.shape[1]
                 onehot = np.zeros((4 * B4g, run_off), dtype=np.float32)
                 roff = 0

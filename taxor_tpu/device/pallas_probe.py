@@ -446,14 +446,18 @@ def finalize_topk(sums, thresholds, run_users, k: int):
     return jnp.concatenate([vals, users], axis=1)
 
 
-def prepare_fingerprints(fingerprints: np.ndarray) -> np.ndarray:
-    """uint8 [S, B] -> packed int32 [S+1, Bpad/4] with a zero sentinel
-    row appended.  Bins pad to a 4*LANE multiple so each packed tile has
-    full 128 lanes."""
+def prepare_fingerprints(fingerprints: np.ndarray,
+                         lane: int = 4 * _LANE,
+                         sentinel: bool = True) -> np.ndarray:
+    """uint8 [S, B] -> packed int32 [S(+1), Bpad/4].  Bins pad to `lane`
+    (default 4*LANE so each packed tile has full 128 lanes; group
+    assembly packs members at lane=4 and pads only the concatenation).
+    sentinel appends the zero no-hit row."""
     from .probe import pad_fingerprints
 
-    fp = pad_fingerprints(fingerprints, lane=4 * _LANE)
-    fp = np.vstack([fp, np.zeros((1, fp.shape[1]), dtype=np.uint8)])
+    fp = pad_fingerprints(fingerprints, lane=lane)
+    if sentinel:
+        fp = np.vstack([fp, np.zeros((1, fp.shape[1]), dtype=np.uint8)])
     return np.ascontiguousarray(fp).view(np.int32)
 
 

@@ -130,47 +130,82 @@ def _codes_from_packed(packed):
     return codes.reshape(R, W * 4)
 
 
+def _pair_shift_or(ahi, alo, bhi, blo, bits: int):
+    """(a << bits) | b on (hi, lo) u32 pairs; b's value must fit in the
+    low `bits` bits (true by construction: b packs bits/2 bases)."""
+    if bits >= 64:
+        raise ValueError(bits)
+    if bits == 32:
+        return alo | bhi, blo
+    if bits > 32:
+        return (alo << jnp.uint32(bits - 32)) | bhi, blo
+    hi = (ahi << jnp.uint32(bits)) | (alo >> jnp.uint32(32 - bits)) | bhi
+    lo = (alo << jnp.uint32(bits)) | blo
+    return hi, lo
+
+
+def _rolling_packed(codes, m: int):
+    """(fhi, flo, rhi, rlo) of the m-mer ending at each position (junk
+    for i < m-1), built with LOG-DEPTH doubling combines instead of m
+    per-base rolls: window(a+b) splits into an older a-part (ending b
+    earlier) and the newest b-part —
+        fwd_{a+b}[i] = fwd_a[i-b] << 2b | fwd_b[i]
+        rev_{a+b}[i] = rev_b[i] << 2a | rev_a[i-b]
+    (fwd packs the oldest base most-significant; rev packs the newest
+    base most-significant, complemented — syncmer.cpp:97-104 semantics).
+    """
+    zeros = jnp.zeros_like(codes)
+    comp = jnp.uint32(3) - codes
+    vals = {1: (zeros, codes, zeros, comp)}
+
+    def get(n: int):
+        if n in vals:
+            return vals[n]
+        a = 1 << (n.bit_length() - 1)
+        if a == n:
+            a = n // 2
+        b = n - a
+        A = get(a)
+        B = get(b)
+        Ar = tuple(jnp.roll(x, b, axis=1) for x in A)
+        fhi, flo = _pair_shift_or(Ar[0], Ar[1], B[0], B[1], 2 * b)
+        rhi, rlo = _pair_shift_or(B[2], B[3], Ar[2], Ar[3], 2 * a)
+        vals[n] = (fhi, flo, rhi, rlo)
+        return vals[n]
+
+    return get(m)
+
+
 def _rolling_smers(codes, s: int):
     """Canonical s-mer value ending at each position (junk for i < s-1).
+    s <= 15 so values fit uint32: run the doubling on the low words only.
+    """
+    comp = jnp.uint32(3) - codes
+    vals = {1: (codes, comp)}
 
-    fwd[i] = sum_j codes[i-s+1+j] << 2(s-1-j);  rev = complement rolled
-    the other way (syncmer.cpp:97-104).  s <= 15 so values fit uint32."""
-    L = codes.shape[1]
-    fwd = jnp.zeros_like(codes)
-    rev = jnp.zeros_like(codes)
-    for j in range(s):
-        # base at offset j of the s-mer ending at i sits at i-(s-1)+j
-        shifted = jnp.roll(codes, s - 1 - j, axis=1)
-        fwd = fwd | (shifted << jnp.uint32(2 * (s - 1 - j)))
-        rev = rev | ((jnp.uint32(3) - shifted) << jnp.uint32(2 * j))
+    def get(n: int):
+        if n in vals:
+            return vals[n]
+        a = 1 << (n.bit_length() - 1)
+        if a == n:
+            a = n // 2
+        b = n - a
+        af, ar = get(a)
+        bf, br = get(b)
+        af = jnp.roll(af, b, axis=1)
+        ar = jnp.roll(ar, b, axis=1)
+        vals[n] = ((af << jnp.uint32(2 * b)) | bf,
+                   (br << jnp.uint32(2 * a)) | ar)
+        return vals[n]
+
+    fwd, rev = get(s)
     return jnp.minimum(fwd, rev)
 
 
 def _rolling_kmers(codes, k: int):
     """Canonical k-mer (hi, lo) uint32 pairs ending at each position
     (junk for i < k-1).  k <= 32 -> 2k bits across the pair."""
-    zeros = jnp.zeros_like(codes)
-    fhi, flo = zeros, zeros
-    rhi, rlo = zeros, zeros
-    for j in range(k):
-        shifted = jnp.roll(codes, k - 1 - j, axis=1)
-        comp = jnp.uint32(3) - shifted
-        bit = 2 * (k - 1 - j)
-        if bit < 32:
-            flo = flo | (shifted << jnp.uint32(bit))
-        if bit >= 30:  # straddles or sits in the high word
-            if bit >= 32:
-                fhi = fhi | (shifted << jnp.uint32(bit - 32))
-            else:
-                fhi = fhi | (shifted >> jnp.uint32(32 - bit))
-        rbit = 2 * j
-        if rbit < 32:
-            rlo = rlo | (comp << jnp.uint32(rbit))
-        if rbit >= 30:
-            if rbit >= 32:
-                rhi = rhi | (comp << jnp.uint32(rbit - 32))
-            else:
-                rhi = rhi | (comp >> jnp.uint32(32 - rbit))
+    fhi, flo, rhi, rlo = _rolling_packed(codes, k)
     # canonical = unsigned 64-bit min
     f_less = (fhi < rhi) | ((fhi == rhi) & (flo < rlo))
     chi = jnp.where(f_less, fhi, rhi)
