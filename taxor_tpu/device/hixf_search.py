@@ -353,11 +353,11 @@ class DeviceHIXF:
                                 thresholder):
         """Hierarchical fused search over the mesh: every level's bins
         shard evenly over the 'bins' axis (slot-count-balanced — each
-        chip holds 1/nb of every IXF's fingerprint volume), descent
-        sums psum per level (sharding.sharded_hixf_e2e_fn)."""
+        chip holds 1/nb of every level's fingerprint volume), IXFs of a
+        level probe as one grouped kernel call per chip, descent sums
+        psum per level (sharding.sharded_hixf_e2e_fn)."""
         from ..hash.device_syncmer import hash_cap
-        from .pallas_probe import (_LANE, _READ_TILE,
-                                   prepare_fingerprints)
+        from .pallas_probe import _LANE, _READ_TILE
         from .sharding import sharded_hixf_e2e_fn
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -365,31 +365,25 @@ class DeviceHIXF:
         nr, nb = mesh.shape["reads"], mesh.shape["bins"]
         state = getattr(self, "_sharded_hixf_state", None)
         if state is None:
-            tree_children, leaf_runs, leaf_users = self._tree_metadata()
-            fps, onehots = [], []
-            seeds_hi = np.zeros(len(self.bfs_order), dtype=np.uint32)
-            seeds_lo = np.zeros(len(self.bfs_order), dtype=np.uint32)
-            bls = np.zeros(len(self.bfs_order), dtype=np.uint32)
-            for p, i in enumerate(self.bfs_order):
-                ixf = self.hixf.ixfs[i]
-                fp = prepare_fingerprints(ixf.fingerprints)  # [S1, B4]
-                B4 = -(-fp.shape[1] // (_LANE * nb)) * (_LANE * nb)
-                fp = np.pad(fp, ((0, 0), (0, B4 - fp.shape[1])))
-                starts, ends, users = self.hixf.runs_of_ixf(i)
-                onehot = np.zeros((4 * B4, starts.shape[0]),
-                                  dtype=np.float32)
-                for r, (a, b) in enumerate(zip(starts, ends)):
-                    onehot[a:b, r] = 1.0
+            host_groups, leaf_users = self._build_probe_groups(
+                col_multiple=_LANE * nb)
+            fps, onehots, groups_meta = [], [], []
+            ng = len(host_groups)
+            seeds_hi = np.zeros(ng, dtype=np.uint32)
+            seeds_lo = np.zeros(ng, dtype=np.uint32)
+            bls = np.zeros(ng, dtype=np.uint32)
+            for gi, g in enumerate(host_groups):
                 fps.append(jax.device_put(
-                    fp, NamedSharding(mesh, P(None, "bins"))))
+                    g["fp"], NamedSharding(mesh, P(None, "bins"))))
                 onehots.append(jax.device_put(
-                    onehot, NamedSharding(mesh, P("bins", None))))
-                seeds_hi[p] = ixf.seed >> 32
-                seeds_lo[p] = ixf.seed & 0xFFFFFFFF
-                bls[p] = ixf.block_length
+                    g["onehot"], NamedSharding(mesh, P("bins", None))))
+                groups_meta.append(g["members"])
+                seeds_hi[gi] = g["seed"] >> 32
+                seeds_lo[gi] = g["seed"] & 0xFFFFFFFF
+                bls[gi] = g["bl"]
             state = self._sharded_hixf_state = dict(
                 fps=tuple(fps), onehots=tuple(onehots),
-                tree_children=tree_children, leaf_runs=leaf_runs,
+                groups_meta=groups_meta,
                 leaf_users=jnp.asarray(leaf_users.astype(np.int32)),
                 seeds_hi=jnp.asarray(seeds_hi),
                 seeds_lo=jnp.asarray(seeds_lo),
@@ -412,8 +406,7 @@ class DeviceHIXF:
         fn = state["fns"].get(fkey)
         if fn is None:
             fn = state["fns"][fkey] = sharded_hixf_e2e_fn(
-                mesh, len(self.bfs_order), state["tree_children"],
-                state["leaf_runs"], k=scheme.kmer_size,
+                mesh, state["groups_meta"], k=scheme.kmer_size,
                 s=scheme.syncmer_size, t=scheme.t_syncmer, hcap=hcap,
                 topk=k, interpret=getattr(self, "_interpret", False))
         packed_dev = fn(
@@ -467,96 +460,19 @@ class DeviceHIXF:
             from .pallas_probe import (choose_bin_tile4,
                                        prepare_fingerprints)
 
-            bfs_pos = {ixf_id: p for p, ixf_id in enumerate(self.bfs_order)}
-            depths = self._depths()
-            # group by (depth, seed, block_length): equal geometry ->
-            # shared probe positions; depth ordering keeps ancestors
-            # strictly before descendants
-            group_key_order: list[tuple] = []
-            group_members: dict[tuple, list[int]] = {}
-            for i in self.bfs_order:
-                ixf = self.hixf.ixfs[i]
-                gk = (depths[i], ixf.seed, ixf.block_length)
-                if gk not in group_members:
-                    group_members[gk] = []
-                    group_key_order.append(gk)
-                group_members[gk].append(i)
-            group_key_order.sort(key=lambda gk: gk[0])
-
+            host_groups, leaf_users = self._build_probe_groups()
             groups = []
-            leaf_users_parts = []
-            for gk in group_key_order:
-                members_meta = []
-                fp_parts = []
-                onehot_parts = []
-                run_off = 0
-                b4_off = 0
-                for i in group_members[gk]:
-                    ixf = self.hixf.ixfs[i]
-                    d = self.ixfs[i]
-                    # members pack tightly (4-bin words, no per-member
-                    # sentinel); only the GROUP pads to kernel lanes
-                    fp = prepare_fingerprints(ixf.fingerprints, lane=4,
-                                              sentinel=False)
-                    fp_parts.append(fp)
-                    starts, ends, users = self.hixf.runs_of_ixf(i)
-                    n_runs = starts.shape[0]
-                    onehot_parts.append(
-                        (b4_off, starts, ends, n_runs))
-                    kids = []
-                    leaves = []
-                    for r, c in enumerate(d.run_children):
-                        if int(c) >= 0:
-                            kids.append((r, bfs_pos[int(c)]))
-                        else:
-                            leaves.append(run_off + r)
-                    leaf_users_parts.append(
-                        users[users >= 0] if leaves else
-                        np.zeros(0, dtype=np.int64))
-                    members_meta.append(
-                        (bfs_pos[i], run_off, n_runs, kids,
-                         jnp.asarray(np.array(leaves, dtype=np.int32))))
-                    run_off += n_runs
-                    b4_off += fp.shape[1]
-                # pad members to a common slot count (geometry equal =>
-                # S1 equal already; defensive pad for reseeded stragglers
-                # that landed in their own group anyway)
-                S = max(f.shape[0] for f in fp_parts)
-                fp_parts = [
-                    np.pad(f, ((0, S - f.shape[0]), (0, 0)))
-                    for f in fp_parts]
-                fp_group = np.concatenate(fp_parts, axis=1)
-                # group-level padding: a 1024-word multiple unlocks the
-                # rotate-free wide kernel once rows get close to it;
-                # otherwise the 128-lane minimum
-                b4 = fp_group.shape[1]
-                target = (-(-b4 // 1024) * 1024 if b4 > 384
-                          else -(-b4 // 128) * 128)
-                fp_group = np.pad(fp_group, ((0, 0), (0, target - b4)))
-                # single zero sentinel row for the whole group
-                fp_group = np.vstack([
-                    fp_group,
-                    np.zeros((1, fp_group.shape[1]), np.int32)])
-                S1 = fp_group.shape[0]
-                B4g = fp_group.shape[1]
-                onehot = np.zeros((4 * B4g, run_off), dtype=np.float32)
-                roff = 0
-                for b4_off, starts, ends, n_runs in onehot_parts:
-                    for r, (a, b) in enumerate(zip(starts, ends)):
-                        onehot[4 * b4_off + a : 4 * b4_off + b,
-                               roff + r] = 1.0
-                    roff += n_runs
-                seed, bl = gk[1], gk[2]
+            for g in host_groups:
                 groups.append(dict(
-                    fp=jnp.asarray(fp_group),
-                    onehot=jnp.asarray(onehot),
-                    seed_hi=jnp.uint32(seed >> 32),
-                    seed_lo=jnp.uint32(seed & 0xFFFFFFFF),
-                    bl=jnp.uint32(bl),
-                    bt4=choose_bin_tile4(S1, B4g),
-                    members=members_meta,
+                    fp=jnp.asarray(g["fp"]),
+                    onehot=jnp.asarray(g["onehot"]),
+                    seed_hi=jnp.uint32(g["seed"] >> 32),
+                    seed_lo=jnp.uint32(g["seed"] & 0xFFFFFFFF),
+                    bl=jnp.uint32(g["bl"]),
+                    bt4=choose_bin_tile4(*g["fp"].shape),
+                    members=[(m[0], m[1], m[2], m[3], jnp.asarray(m[4]))
+                             for m in g["members"]],
                 ))
-            leaf_users = np.concatenate(leaf_users_parts)
             cache[key] = make_hixf_e2e_grouped_fn(
                 groups, jnp.asarray(leaf_users.astype(np.int32)),
                 k=scheme.kmer_size, s=scheme.syncmer_size,
@@ -564,6 +480,99 @@ class DeviceHIXF:
                 interpret=getattr(self, "_interpret", False),
             )
         return cache[key]
+
+    def _build_probe_groups(self, col_multiple: int | None = None):
+        """Assemble the level-grouped probe structure on the host.
+
+        Groups IXFs by (depth, seed, block_length); members pack tightly
+        (4-bin words, no per-member sentinel) and only the GROUP pads its
+        columns — to `col_multiple` words when given (the sharded path
+        needs each bins-shard to get whole 128-lane tiles), else to a
+        1024-word multiple once rows get close to it (unlocking the
+        rotate-free wide kernel) or the 128-lane minimum.
+
+        Returns (groups, leaf_users): groups are dicts of numpy
+        fp [S1, B4g] (zero sentinel row appended), onehot [4*B4g, runs],
+        seed, bl, members [(bfs_pos, run_off, n_runs,
+        children [(local_run, child_bfs_pos)], leaf_sel int32)].
+        """
+        from .pallas_probe import prepare_fingerprints
+
+        bfs_pos = {ixf_id: p for p, ixf_id in enumerate(self.bfs_order)}
+        depths = self._depths()
+        group_key_order: list[tuple] = []
+        group_members: dict[tuple, list[int]] = {}
+        for i in self.bfs_order:
+            ixf = self.hixf.ixfs[i]
+            gk = (depths[i], ixf.seed, ixf.block_length)
+            if gk not in group_members:
+                group_members[gk] = []
+                group_key_order.append(gk)
+            group_members[gk].append(i)
+        group_key_order.sort(key=lambda gk: gk[0])
+
+        groups = []
+        leaf_users_parts = []
+        for gk in group_key_order:
+            members_meta = []
+            fp_parts = []
+            onehot_parts = []
+            run_off = 0
+            b4_off = 0
+            for i in group_members[gk]:
+                ixf = self.hixf.ixfs[i]
+                d = self.ixfs[i]
+                fp = prepare_fingerprints(ixf.fingerprints, lane=4,
+                                          sentinel=False)
+                fp_parts.append(fp)
+                starts, ends, users = self.hixf.runs_of_ixf(i)
+                n_runs = starts.shape[0]
+                onehot_parts.append((b4_off, starts, ends, n_runs))
+                kids = []
+                leaves = []
+                for r, c in enumerate(d.run_children):
+                    if int(c) >= 0:
+                        kids.append((r, bfs_pos[int(c)]))
+                    else:
+                        leaves.append(run_off + r)
+                leaf_users_parts.append(
+                    users[users >= 0] if leaves else
+                    np.zeros(0, dtype=np.int64))
+                members_meta.append(
+                    (bfs_pos[i], run_off, n_runs, kids,
+                     np.array(leaves, dtype=np.int32)))
+                run_off += n_runs
+                b4_off += fp.shape[1]
+            # pad members to a common slot count (geometry equal =>
+            # equal already; defensive for reseeded stragglers)
+            S = max(f.shape[0] for f in fp_parts)
+            fp_parts = [
+                np.pad(f, ((0, S - f.shape[0]), (0, 0)))
+                for f in fp_parts]
+            fp_group = np.concatenate(fp_parts, axis=1)
+            b4 = fp_group.shape[1]
+            if col_multiple is not None:
+                target = -(-b4 // col_multiple) * col_multiple
+            else:
+                target = (-(-b4 // 1024) * 1024 if b4 > 384
+                          else -(-b4 // 128) * 128)
+            fp_group = np.pad(fp_group, ((0, 0), (0, target - b4)))
+            fp_group = np.vstack([
+                fp_group, np.zeros((1, fp_group.shape[1]), np.int32)])
+            B4g = fp_group.shape[1]
+            onehot = np.zeros((4 * B4g, run_off), dtype=np.float32)
+            roff = 0
+            for b4_off, starts, ends, n_runs in onehot_parts:
+                for r, (a, b) in enumerate(zip(starts, ends)):
+                    onehot[4 * b4_off + a : 4 * b4_off + b,
+                           roff + r] = 1.0
+                roff += n_runs
+            groups.append(dict(
+                fp=fp_group, onehot=onehot, seed=gk[1], bl=gk[2],
+                members=members_meta,
+            ))
+        leaf_users = np.concatenate(leaf_users_parts)
+        return groups, leaf_users
 
     def e2e_async(self, raw_reads: np.ndarray, lengths: np.ndarray,
                   scheme, thresholder=None, k: int = 16):

@@ -172,31 +172,30 @@ def sharded_e2e_fn(mesh: Mesh, k: int, s: int, t: int, hcap: int,
     return jax.jit(step)
 
 
-def sharded_hixf_e2e_fn(mesh: Mesh, n_ixfs: int, tree_children,
-                        leaf_runs, k: int, s: int, t: int, hcap: int,
-                        topk: int, interpret: bool = False):
-    """HIERARCHICAL fused search over the (reads x bins) mesh — the
-    multi-chip configuration for multi-level indexes too large for one
-    chip's HBM (GTDB-scale, SURVEY.md §7 "shard within levels").
+def sharded_hixf_e2e_fn(mesh: Mesh, groups_meta, k: int, s: int,
+                        t: int, hcap: int, topk: int,
+                        interpret: bool = False):
+    """HIERARCHICAL fused search over the (reads x bins) mesh with
+    LEVEL-GROUPED probing — the multi-chip configuration for multi-level
+    indexes too large for one chip's HBM (GTDB-scale, SURVEY.md §7
+    "shard within levels").
 
-    Sharding EVERY level's bins evenly over the 'bins' axis is the
-    slot-count-balanced layout: each chip holds B_i/nb bins of every IXF
-    i, so its share of slot*bin fingerprint volume is exactly 1/nb of
-    the whole tree (the root IXF dominating total volume changes
-    nothing).  Per level: each chip probes its bin shard with the full
-    gathered hash batch, partial run sums contract over 'bins' with one
-    psum, descent masks derive from the (now replicated) merged-run
-    sums — bit-identical to the single-device BFS unroll
-    (e2e.make_hixf_e2e_fn).
+    Sharding every level's bins evenly over the 'bins' axis is the
+    slot-count-balanced layout: each chip holds 1/nb of every level's
+    fingerprint volume.  IXFs sharing (depth, seed, block_length) probe
+    as one kernel call per chip (see e2e.make_hixf_e2e_grouped_fn); the
+    per-group partial run sums contract over 'bins' with one psum,
+    descent masks derive from the (replicated) merged-run sums —
+    bit-identical to the single-device grouped unroll.
 
-    Static tree metadata mirrors make_hixf_e2e_fn: tree_children[i] =
-    [(run_idx, child_bfs_pos)...], leaf_runs[i] = int32 leaf run indices.
+    groups_meta: ordered list (ancestors before descendants) of member
+    lists [(bfs_pos, run_off, n_runs, children [(local_run, child_pos)],
+    leaf_sel np.int32 of group-run indices)].
 
     Returns a jitted fn(fps, onehots, packed_reads, lengths, thr_table,
     leaf_users, seeds_hi, seeds_lo, bls) -> packed int32 [R, 2*topk+2]
-    (same layout as fused_e2e_step).  fps/onehots are n_ixfs-tuples of
-    bins-sharded arrays; seeds/bls are [n_ixfs] replicated vectors;
-    thr_table is the exact per-hash-count descent threshold table.
+    (fused_e2e_step layout).  fps/onehots are per-GROUP tuples of
+    bins-sharded arrays; seeds/bls are [n_groups] replicated vectors.
     """
     from ..hash.device_syncmer import (
         dedup_kmers,
@@ -207,19 +206,22 @@ def sharded_hixf_e2e_fn(mesh: Mesh, n_ixfs: int, tree_children,
     from .pallas_probe import _probe_call_chunked, choose_bin_tile4
 
     gap = emission_min_gap(k, s, t)
-    leaf_sel = [jnp.asarray(lr.astype(np.int32)) for lr in leaf_runs]
+    n_groups = len(groups_meta)
+    leaf_sels = [
+        [jnp.asarray(m[4]) for m in members] for members in groups_meta
+    ]
 
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
         in_specs=(
-            tuple(P(None, "bins") for _ in range(n_ixfs)),   # fps
-            tuple(P("bins", None) for _ in range(n_ixfs)),   # onehots
+            tuple(P(None, "bins") for _ in range(n_groups)),  # fps
+            tuple(P("bins", None) for _ in range(n_groups)),  # onehots
             P(("reads", "bins"), None),  # packed reads [R, L/4]
             P(("reads", "bins")),        # lengths [R]
             P(),                         # thr_table (replicated)
             P(),                         # leaf_users (replicated)
-            P(), P(), P(),               # seeds_hi/seeds_lo/bls [n_ixfs]
+            P(), P(), P(),               # seeds_hi/seeds_lo/bls [n_groups]
         ),
         out_specs=P("reads", None),
         check_vma=False,
@@ -238,30 +240,38 @@ def sharded_hixf_e2e_fn(mesh: Mesh, n_ixfs: int, tree_children,
         thr = thr_table[jnp.clip(n_unique, 0, thr_table.shape[0] - 1)]
         active = {0: jnp.ones((R,), dtype=bool)}
         leaf_vals = []
-        for pos_i in range(n_ixfs):
-            fp_local = fps[pos_i]
-            act = active[pos_i]
+        for gi, members in enumerate(groups_meta):
+            fp_local = fps[gi]
+            acts = [active[m[0]] for m in members]
+            act_any = acts[0]
+            for a in acts[1:]:
+                act_any = act_any | a
             pos, f4 = probe_positions_and_fprint4(
-                hi, lo, seeds_hi[pos_i], seeds_lo[pos_i], bls[pos_i])
+                hi, lo, seeds_hi[gi], seeds_lo[gi], bls[gi])
             S1 = fp_local.shape[0]
             pos = jnp.where(valid[..., None], pos, jnp.int32(S1 - 1))
             f4 = jnp.where(valid, f4, jnp.uint32(0x01010101))
             f4i = jax.lax.bitcast_convert_type(f4, jnp.int32)
             bt4 = choose_bin_tile4(S1, fp_local.shape[1])
             counts = _probe_call_chunked(
-                fp_local, pos, f4i, valid & act[:, None], bt4, interpret)
+                fp_local, pos, f4i, valid & act_any[:, None], bt4,
+                interpret)
             part = jnp.dot(
-                counts.astype(jnp.float32), onehots[pos_i],
+                counts.astype(jnp.float32), onehots[gi],
                 preferred_element_type=jnp.float32,
             )
             sums = jax.lax.psum(part, "bins").astype(jnp.int32)
-            for run_idx, child_pos in tree_children[pos_i]:
-                active[child_pos] = act & (sums[:, run_idx] >= thr)
-            sel = leaf_sel[pos_i]
-            if sel.shape[0]:
-                leaf_vals.append(
-                    jnp.where(act[:, None], sums[:, sel], jnp.int32(-1))
-                )
+            for (bfs_pos, run_off, _n_runs, children, _ls), act in zip(
+                    members, acts):
+                for local_run, child_pos in children:
+                    active[child_pos] = act & (
+                        sums[:, run_off + local_run] >= thr)
+            for (bfs_pos, run_off, _n_runs, _ch, _ls), act, sel in zip(
+                    members, acts, leaf_sels[gi]):
+                if sel.shape[0]:
+                    leaf_vals.append(
+                        jnp.where(act[:, None], sums[:, sel],
+                                  jnp.int32(-1)))
         allv = jnp.concatenate(leaf_vals, axis=1)
         kk = min(topk, allv.shape[1])
         vals, idx = jax.lax.top_k(allv, kk)
