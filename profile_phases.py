@@ -19,21 +19,26 @@ def log(m):
 
 
 def timed(fn, *args, M=10):
+    """ms/pass with the FIRST argument row-rolled between scan
+    iterations — same workload every pass, but the loop body depends on
+    the carry so XLA cannot hoist it (loop-invariant code motion made
+    the old constant-carry version report 1/M of the real time)."""
     import jax
+    import jax.numpy as jnp
 
     @functools.partial(jax.jit)
-    def multi(*a):
-        def body(carry, _):
-            out = fn(*carry)
-            return carry, jax.tree_util.tree_map(
-                lambda x: x.reshape(-1)[0], out)
-        _, o = jax.lax.scan(body, a, None, length=M)
+    def multi(head, *rest):
+        def body(c, _):
+            out = fn(c, *rest)
+            leaf = jax.tree_util.tree_leaves(out)[0]
+            return jnp.roll(c, 1, axis=0), leaf.reshape(-1)[0]
+        _, o = jax.lax.scan(body, head, None, length=M)
         return o
-    np.asarray(jax.tree_util.tree_leaves(multi(*args))[0])
+    np.asarray(multi(*args))
     best = 1e9
     for _ in range(3):
         t0 = time.perf_counter()
-        np.asarray(jax.tree_util.tree_leaves(multi(*args))[0])
+        np.asarray(multi(*args))
         best = min(best, (time.perf_counter() - t0) / M)
     return best
 

@@ -24,13 +24,15 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..hash.device_syncmer import (dedup_kmers, emission_min_gap,
-                                   syncmer_kmers)
+                                   minimizer_kmers, syncmer_kmers)
 from ..utils.u64jnp import probe_positions_and_fprint4, wyhash64
 from .pallas_probe import _HASH_UNROLL, _probe_call_chunked
 
 
 def make_hixf_e2e_grouped_fn(groups, leaf_users, k: int, s: int, t: int,
-                             topk: int, interpret: bool = False):
+                             topk: int, interpret: bool = False,
+                             scheme_kind: str = "syncmer",
+                             window: int = 0):
     """Fused hierarchical search with LEVEL-GROUPED probing.
 
     IXFs sharing (seed, block_length) — which the builder's uniform level
@@ -58,10 +60,16 @@ def make_hixf_e2e_grouped_fn(groups, leaf_users, k: int, s: int, t: int,
     @functools.partial(jax.jit, static_argnames=("hcap",))
     def run(packed_reads, lengths, thr_table, hcap: int):
         R = packed_reads.shape[0]
-        k_hi, k_lo, emit = syncmer_kmers(packed_reads, lengths, k, s, t)
-        khi_c, klo_c, valid, n_unique, n_emit = dedup_kmers(
-            k_hi, k_lo, emit, hcap, emission_min_gap(k, s, t))
-        hi, lo = wyhash64(khi_c, klo_c)
+        if scheme_kind == "syncmer":
+            k_hi, k_lo, emit = syncmer_kmers(packed_reads, lengths, k, s, t)
+            khi_c, klo_c, valid, n_unique, n_emit = dedup_kmers(
+                k_hi, k_lo, emit, hcap, emission_min_gap(k, s, t))
+            hi, lo = wyhash64(khi_c, klo_c)
+        else:  # minimizer / plain k-mer: values probe directly, no
+            # wyhash, duplicates kept (vector semantics)
+            hi, lo, valid, n_emit = minimizer_kmers(
+                packed_reads, lengths, k, window)
+            n_unique = n_emit
         thr = thr_table[jnp.clip(n_unique, 0, thr_table.shape[0] - 1)]
         active = {0: jnp.ones((R,), dtype=bool)}
         leaf_vals = []
@@ -107,82 +115,10 @@ def make_hixf_e2e_grouped_fn(groups, leaf_users, k: int, s: int, t: int,
     return run
 
 
-def make_hixf_e2e_fn(dixfs, tree_children, leaf_runs, leaf_users,
-                     k: int, s: int, t: int, topk: int,
-                     interpret: bool = False):
-    """Build the fused HIERARCHICAL search step for one DeviceHIXF.
-
-    The reference's per-read recursion (bulk_contains_impl,
-    hierarchical_interleaved_xor_filter.hpp:304-340) becomes a static
-    unroll over the BFS-ordered IXF list inside ONE jit: every IXF runs
-    the probe kernel over the whole batch with a per-read active mask
-    (inactive reads get a zero trip count — near-free), merged-run sums
-    >= threshold open the child's mask, leaf-run sums concatenate into
-    one global candidate matrix for top-k.  Descent thresholds come from
-    a host-precomputed exact per-count table (thr_table[n_unique]) so no
-    device float math can diverge from the reference's float64.
-
-    dixfs: BFS-ordered list of _DeviceIXF (pallas engine).
-    tree_children: per BFS position, list of (run_idx, child_bfs_pos).
-    leaf_runs: per BFS position, int32 array of leaf run indices.
-    leaf_users: int32 np array, user bin per concatenated leaf run.
-    """
-    from .pallas_probe import choose_bin_tile4
-
-    leaf_users_dev = jnp.asarray(leaf_users.astype(np.int32))
-    bt4s = [choose_bin_tile4(*d.fp.shape) for d in dixfs]
-    leaf_sel = [jnp.asarray(lr.astype(np.int32)) for lr in leaf_runs]
-
-    @functools.partial(jax.jit, static_argnames=("hcap",))
-    def run(packed_reads, lengths, thr_table, hcap: int):
-        R = packed_reads.shape[0]
-        k_hi, k_lo, emit = syncmer_kmers(packed_reads, lengths, k, s, t)
-        khi_c, klo_c, valid, n_unique, n_emit = dedup_kmers(
-            k_hi, k_lo, emit, hcap, emission_min_gap(k, s, t))
-        hi, lo = wyhash64(khi_c, klo_c)
-        thr = thr_table[jnp.clip(n_unique, 0, thr_table.shape[0] - 1)]
-        active = {0: jnp.ones((R,), dtype=bool)}
-        leaf_vals = []
-        for pos_i, (dixf, bt4, sel) in enumerate(
-                zip(dixfs, bt4s, leaf_sel)):
-            act = active[pos_i]
-            pos, f4 = probe_positions_and_fprint4(
-                hi, lo, dixf.seed_hi, dixf.seed_lo, dixf.bl_u32)
-            S1 = dixf.fp.shape[0]
-            pos = jnp.where(valid[..., None], pos, jnp.int32(S1 - 1))
-            f4 = jnp.where(valid, f4, jnp.uint32(0x01010101))
-            f4i = jax.lax.bitcast_convert_type(f4, jnp.int32)
-            counts = _probe_call_chunked(
-                dixf.fp, pos, f4i, valid & act[:, None], bt4, interpret)
-            sums = jnp.dot(
-                counts.astype(jnp.float32), dixf.run_onehot,
-                preferred_element_type=jnp.float32,
-            ).astype(jnp.int32)
-            for run_idx, child_pos in tree_children[pos_i]:
-                active[child_pos] = act & (sums[:, run_idx] >= thr)
-            if sel.shape[0]:
-                leaf_vals.append(
-                    jnp.where(act[:, None], sums[:, sel], jnp.int32(-1))
-                )
-        allv = jnp.concatenate(leaf_vals, axis=1)
-        kk = min(topk, allv.shape[1])
-        vals, idx = jax.lax.top_k(allv, kk)
-        users = leaf_users_dev[idx]
-        users = jnp.where(vals >= 0, users, jnp.int32(-1))
-        if kk < topk:
-            pad = ((0, 0), (0, topk - kk))
-            vals = jnp.pad(vals, pad, constant_values=-1)
-            users = jnp.pad(users, pad, constant_values=-1)
-        return jnp.concatenate(
-            [vals, users, n_unique[:, None], n_emit[:, None]], axis=1)
-
-    return run
-
-
 @functools.partial(
     jax.jit,
     static_argnames=("k", "s", "t", "hcap", "topk", "bin_tile4",
-                     "interpret"),
+                     "interpret", "scheme_kind", "window"),
 )
 def fused_e2e_step(
     fp_packed,  # int32 [S+1, B4] (prepare_fingerprints)
@@ -201,17 +137,26 @@ def fused_e2e_step(
     topk: int,
     bin_tile4: int,
     interpret: bool = False,
+    scheme_kind: str = "syncmer",
+    window: int = 0,
 ):
     """Returns packed int32 [R, 2*topk + 2]:
     [:, :topk] descending raw run sums, [:, topk:2*topk] their user bins
-    (-1 for merged/padding), [:, -2] the per-read unique hash count,
-    [:, -1] the pre-dedup emission count (> hcap => host fallback)."""
-    assert hcap % _HASH_UNROLL == 0
+    (-1 for merged/padding), [:, -2] the per-read hash count (unique for
+    syncmers, emitted-vector size for minimizers/k-mers), [:, -1] the
+    pre-dedup emission count (> hcap => host fallback; the minimizer
+    path never truncates — its hash width IS the read length)."""
     R = raw_reads.shape[0]
-    k_hi, k_lo, emit = syncmer_kmers(raw_reads, lengths, k, s, t)
-    khi_c, klo_c, valid, n_unique, n_emit = dedup_kmers(
-        k_hi, k_lo, emit, hcap, emission_min_gap(k, s, t))
-    hi, lo = wyhash64(khi_c, klo_c)
+    if scheme_kind == "syncmer":
+        assert hcap % _HASH_UNROLL == 0
+        k_hi, k_lo, emit = syncmer_kmers(raw_reads, lengths, k, s, t)
+        khi_c, klo_c, valid, n_unique, n_emit = dedup_kmers(
+            k_hi, k_lo, emit, hcap, emission_min_gap(k, s, t))
+        hi, lo = wyhash64(khi_c, klo_c)
+    else:
+        hi, lo, valid, n_emit = minimizer_kmers(raw_reads, lengths, k,
+                                                window)
+        n_unique = n_emit
     pos, f4 = probe_positions_and_fprint4(hi, lo, seed_hi, seed_lo,
                                           block_length)
     S1 = fp_packed.shape[0]

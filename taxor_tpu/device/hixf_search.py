@@ -451,7 +451,8 @@ class DeviceHIXF:
         (depth, seed, block_length, slots) probe as ONE grouped kernel
         call (e2e.make_hixf_e2e_grouped_fn) — the builder's uniform level
         geometry makes whole levels one group."""
-        key = (scheme.kmer_size, scheme.syncmer_size, scheme.t_syncmer, k)
+        key = (scheme.kmer_size, scheme.syncmer_size, scheme.t_syncmer,
+               scheme.use_syncmer, scheme.window_size, k)
         cache = getattr(self, "_hixf_e2e_cache", None)
         if cache is None:
             cache = self._hixf_e2e_cache = {}
@@ -478,6 +479,9 @@ class DeviceHIXF:
                 k=scheme.kmer_size, s=scheme.syncmer_size,
                 t=scheme.t_syncmer, topk=k,
                 interpret=getattr(self, "_interpret", False),
+                scheme_kind=("syncmer" if scheme.use_syncmer
+                             else "minimizer"),
+                window=scheme.window_size,
             )
         return cache[key]
 
@@ -600,7 +604,7 @@ class DeviceHIXF:
             lengths = np.pad(lengths, (0, rpad))
         if len(self.ixfs) > 1:
             L = raw_reads.shape[1] * 4
-            hcap = hash_cap(L)
+            hcap = hash_cap(L) if scheme.use_syncmer else L
             tbl_cache = getattr(self, "_thr_table_cache", None)
             if tbl_cache is None:
                 tbl_cache = self._thr_table_cache = {}
@@ -632,7 +636,7 @@ class DeviceHIXF:
             run_users_dev = jnp.asarray(dixf.run_users.astype(np.int32))
             dixf._run_users_dev = run_users_dev
         L = raw_reads.shape[1] * 4  # bases: 4 per packed byte
-        hcap = hash_cap(L)
+        hcap = hash_cap(L) if scheme.use_syncmer else L
         packed_dev = fused_e2e_step(
             dixf.fp,
             jnp.asarray(raw_reads),
@@ -648,6 +652,9 @@ class DeviceHIXF:
             hcap=hcap,
             topk=k,
             bin_tile4=choose_bin_tile4(*dixf.fp.shape),
+            scheme_kind="syncmer" if scheme.use_syncmer else "minimizer",
+            window=scheme.window_size,
+            interpret=getattr(self, "_interpret", False),
         )
         try:
             packed_dev.copy_to_host_async()

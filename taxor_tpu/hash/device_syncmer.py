@@ -509,3 +509,137 @@ def dedup_sorted(h_hi, h_lo, emit, hcap: int):
     valid = (jnp.arange(hcap, dtype=jnp.int32)[None, :]
              < jnp.minimum(n_unique, hcap)[:, None])
     return out_hi, out_lo, valid, n_unique
+
+
+# --------------------------------------------------------------------- #
+# minimizer / plain-k-mer extraction ON DEVICE
+# --------------------------------------------------------------------- #
+# The reference's non-syncmer scheme is seqan3 views::minimiser_hash
+# (src/main/taxor_search.cpp:210-212): canonical value = min(fwd, rc) of
+# the XOR-seeded 2-bit packing, windows of w' = window-k+1 values, and —
+# unlike the syncmer tracker — the emission holder is ALWAYS the
+# LEFTMOST sliding-window argmin (a strictly-smaller newcomer is the
+# unique minimum; ties keep the older = more-left holder; slide-out
+# recomputes leftmost).  That makes emission a pure per-position
+# function: emit[i] <=> first full window or L(i) != L(i-1), where L is
+# the leftmost argmin — no sequential scan at all.  Values emit as a
+# VECTOR (duplicates kept, taxor_search.cpp:242-259), so there is no
+# dedup/sort either; w' == 1 (the reference default window == k) emits
+# every position: the plain canonical k-mer path.
+
+
+def supports_minimizer(scheme) -> bool:
+    """Whether the device minimizer/k-mer extractor covers this scheme."""
+    return (
+        not scheme.use_syncmer
+        and scheme.scaling == 1
+        and 2 <= scheme.kmer_size <= 32
+        and scheme.window_size >= scheme.kmer_size
+    )
+
+
+def _sliding_leftmost_min_pair(vhi, vlo, w: int):
+    """(min_hi, min_lo, argmin_end) per END position i over the window
+    of pair values ending at [i-w+1 .. i]: LEFTMOST minimum (ties keep
+    the smaller index), lexicographic (hi, lo) u32-pair order.  Junk for
+    i < w-1.  Van Herk/Gil-Werman like _sliding_rightmost_min."""
+    R, L = vhi.shape
+    nb = (L + w - 1) // w
+    Lp = nb * w
+    if Lp != L:
+        pad = ((0, 0), (0, Lp - L))
+        vhi = jnp.pad(vhi, pad, constant_values=np.uint32(_UMAX32))
+        vlo = jnp.pad(vlo, pad, constant_values=np.uint32(_UMAX32))
+    bh = vhi.reshape(R, nb, w)
+    bl_ = vlo.reshape(R, nb, w)
+    base = jnp.broadcast_to(
+        (w * jnp.arange(nb, dtype=jnp.int32))[None, :], (R, nb))
+
+    def less(ah, al, bh_, bl2):
+        return (ah < bh_) | ((ah == bh_) & (al < bl2))
+
+    # prefix: leftmost argmin of block[.., :j+1] -> take on strict <
+    ph, plv, pe = bh[:, :, 0], bl_[:, :, 0], base
+    phs, pls, pes = [ph], [plv], [pe]
+    for j in range(1, w):
+        jh, jl = bh[:, :, j], bl_[:, :, j]
+        take = less(jh, jl, ph, plv)
+        ph = jnp.where(take, jh, ph)
+        plv = jnp.where(take, jl, plv)
+        pe = jnp.where(take, base + j, pe)
+        phs.append(ph)
+        pls.append(plv)
+        pes.append(pe)
+    prefix_hi = jnp.stack(phs, 2).reshape(R, Lp)
+    prefix_lo = jnp.stack(pls, 2).reshape(R, Lp)
+    prefix_end = jnp.stack(pes, 2).reshape(R, Lp)
+    # suffix: leftmost argmin of block[.., j:] -> moving left, take on <=
+    sh, sl, se = bh[:, :, w - 1], bl_[:, :, w - 1], base + (w - 1)
+    shs, sls, ses = [sh], [sl], [se]
+    for j in range(w - 2, -1, -1):
+        jh, jl = bh[:, :, j], bl_[:, :, j]
+        keep = less(sh, sl, jh, jl)  # strictly smaller keeps the right
+        sh = jnp.where(keep, sh, jh)
+        sl = jnp.where(keep, sl, jl)
+        se = jnp.where(keep, se, base + j)
+        shs.append(sh)
+        sls.append(sl)
+        ses.append(se)
+    suffix_hi = jnp.stack(shs[::-1], 2).reshape(R, Lp)
+    suffix_lo = jnp.stack(sls[::-1], 2).reshape(R, Lp)
+    suffix_end = jnp.stack(ses[::-1], 2).reshape(R, Lp)
+    # window [a, i], a = i-w+1: suffix covers [a, block_end(a)] (the
+    # LEFT part), prefix covers [block_start(i), i]; left wins ties
+    zpad = ((0, 0), (w - 1, 0))
+    suf_h = jnp.pad(suffix_hi, zpad,
+                    constant_values=np.uint32(_UMAX32))[:, :Lp]
+    suf_l = jnp.pad(suffix_lo, zpad,
+                    constant_values=np.uint32(_UMAX32))[:, :Lp]
+    suf_e = jnp.pad(suffix_end, zpad)[:, :Lp]
+    take_p = less(prefix_hi, prefix_lo, suf_h, suf_l)
+    mh = jnp.where(take_p, prefix_hi, suf_h)
+    ml = jnp.where(take_p, prefix_lo, suf_l)
+    me = jnp.where(take_p, prefix_end, suf_e)
+    return mh[:, :L], ml[:, :L], me[:, :L]
+
+
+@functools.partial(jax.jit, static_argnames=("k", "window"))
+def minimizer_kmers(packed_reads, lengths, k: int, window: int):
+    """Minimiser (or plain k-mer when window == k) emissions per END
+    position: (vhi, vlo uint32 [R, L] emitted hash values, emit bool
+    [R, L], n_emit int32 [R]).  Values are the XOR-seeded canonical
+    packings the reference probes with directly (no wyhash);
+    duplicates are KEPT (vector semantics)."""
+    from .minimizer import adjust_seed
+
+    wprime = window - k + 1
+    codes = _codes_from_packed(packed_reads)
+    R, L = codes.shape
+    fhi, flo, rhi, rlo = _rolling_packed(codes, k)
+    seed = adjust_seed(k)
+    shi = jnp.uint32(seed >> 32)
+    slo = jnp.uint32(seed & 0xFFFFFFFF)
+    fhi, flo = fhi ^ shi, flo ^ slo
+    rhi, rlo = rhi ^ shi, rlo ^ slo
+    f_less = (fhi < rhi) | ((fhi == rhi) & (flo < rlo))
+    vhi = jnp.where(f_less, fhi, rhi)
+    vlo = jnp.where(f_less, flo, rlo)
+
+    iota = jnp.arange(L, dtype=jnp.int32)[None, :]
+    valid_val = (iota >= k - 1) & (iota < lengths[:, None])
+    if wprime == 1:
+        emit = valid_val
+        n_emit = emit.sum(axis=1, dtype=jnp.int32)
+        return vhi, vlo, emit, n_emit
+    # mask junk before the window minima (never selected at valid i,
+    # but keeps the padded tail inert)
+    mvhi = jnp.where(valid_val, vhi, jnp.uint32(_UMAX32))
+    mvlo = jnp.where(valid_val, vlo, jnp.uint32(_UMAX32))
+    mh, ml, me = _sliding_leftmost_min_pair(mvhi, mvlo, wprime)
+    first = k + wprime - 2  # end position of the first full window
+    prev_me = jnp.concatenate(
+        [jnp.full((R, 1), -1, jnp.int32), me[:, :-1]], axis=1)
+    emit = (iota == first) | ((iota > first) & (me != prev_me))
+    emit = emit & (iota < lengths[:, None])
+    n_emit = emit.sum(axis=1, dtype=jnp.int32)
+    return mh, ml, emit, n_emit

@@ -111,7 +111,11 @@ def search_single(
         and device_hixf is not None
         and hasattr(device_hixf, "e2e_capable")
         and device_hixf.e2e_capable(thresholder)
-        and dsync.supports(scheme)
+        and (dsync.supports(scheme)
+             # minimizer/plain-k-mer device extraction: single-device
+             # fused paths only (the sharded fns extract syncmers)
+             or (dsync.supports_minimizer(scheme)
+                 and getattr(device_hixf, "mesh", None) is None))
     )
 
     def _hash_thresholds(hash_counts, seqs):

@@ -187,3 +187,38 @@ def test_min_gap_compaction_adversarial(k, s):
         assert (a == b).all(), f"read {r}"
         verified += 1
     assert verified >= len(reads) // 2
+
+
+class TestDeviceMinimizer:
+    """Device minimiser/plain-k-mer extraction must reproduce the host
+    oracle's emitted value SEQUENCE exactly (duplicates kept, vector
+    semantics — taxor_search.cpp:242-259)."""
+
+    @pytest.mark.parametrize("k,window", [(20, 20), (22, 22), (16, 24),
+                                          (22, 30), (31, 41)])
+    def test_matches_host_oracle(self, k, window):
+        import jax
+
+        from taxor_tpu.hash.device_syncmer import (minimizer_kmers,
+                                                   pack_reads,
+                                                   pad_len_bucket)
+        from taxor_tpu.hash.encode import encode_dna4
+        from taxor_tpu.hash.minimizer import minimiser_hashes
+
+        rng = np.random.default_rng(17)
+        seqs = [
+            rng.choice(np.frombuffer(b"ACGT", np.uint8), size=n).tobytes()
+            for n in (k - 1, k, window, window + 1, 173, 500, 1000)
+        ] + [b"A" * 300, b"ACGT" * 100]
+        L = pad_len_bucket(max(len(s) for s in seqs))
+        packed, lengths = pack_reads(seqs, L)
+        vhi, vlo, emit, n_emit = jax.block_until_ready(
+            minimizer_kmers(packed, lengths.astype(np.int32), k, window))
+        vhi, vlo = np.asarray(vhi), np.asarray(vlo)
+        emit, n_emit = np.asarray(emit), np.asarray(n_emit)
+        for r, s in enumerate(seqs):
+            want = minimiser_hashes(encode_dna4(s), k, window)
+            got = (vhi[r][emit[r]].astype(np.uint64) << np.uint64(32)) \
+                | vlo[r][emit[r]].astype(np.uint64)
+            assert n_emit[r] == want.shape[0], (r, n_emit[r], want.shape)
+            np.testing.assert_array_equal(got, want)

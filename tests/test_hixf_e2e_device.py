@@ -1,4 +1,4 @@
-"""Hierarchical fused device search step (make_hixf_e2e_fn) vs the host
+"""Hierarchical fused device search step (make_hixf_e2e_grouped_fn) vs the host
 oracle on a multi-level HIXF, Pallas kernel in interpreter mode."""
 
 import os
@@ -91,3 +91,67 @@ def test_thr_table_matches_host(hier_setup):
         tbl = dhixf._thr_table(th, 512)
         for c in (0, 1, 7, 100, 511, 512):
             assert tbl[c] == min(th.get(c, 0.0), 2**31 - 1)
+
+
+@pytest.fixture(scope="module", params=[(20, 20), (18, 26)])
+def kmer_setup(request, tmp_path_factory):
+    """Plain-k-mer (window == k, the reference default scheme) and
+    windowed-minimizer indexes."""
+    from taxor_tpu.io.fastx import read_all
+
+    k, window = request.param
+    tmp = str(tmp_path_factory.mktemp("kmer_dev"))
+    rng = np.random.default_rng(33)
+    tsv, gdir, genomes = make_ref_set(tmp, rng, n_species=30,
+                                      genome_len=3000)
+    reads_file = make_reads(tmp, rng, genomes, n_reads_per_genome=3,
+                            read_len=700, error_rate=0.02)
+    index = run_build(BuildConfig(
+        input_file=tsv, input_sequence_dir=gdir, output_filename="",
+        kmer_size=k, window_size=window, use_syncmer=False,
+        layout_mode="flat", layout_file="",
+    ))
+    reads = [r.seq for r in read_all(reads_file)]
+    return index, reads
+
+
+def test_minimizer_fused_matches_host(kmer_setup):
+    """The minimizer/plain-k-mer device extraction feeding the flat fused
+    step must reproduce the host engine's final emissions exactly."""
+    index, reads = kmer_setup
+    scheme = index.scheme
+    assert dsync.supports_minimizer(scheme)
+    thresholder = Thresholder.make(scheme.kmer_size, scheme.window_size,
+                                   0.04, -1.0, scheme.use_syncmer)
+    dhixf = DeviceHIXF(index.hixf, engine="pallas")
+    dhixf._interpret = True
+    assert dhixf.e2e_capable(thresholder)
+
+    L = dsync.pad_len_bucket(max(len(r) for r in reads))
+    packed, lengths = dsync.pack_reads(reads, L)
+    vals, users, counts, n_emit, hcap = dhixf.e2e_async(
+        packed, lengths, scheme, thresholder)()
+    dfs_rank = index.hixf.user_bin_dfs_order()
+    pairs, hash_counts = _pairs_from_e2e(
+        vals, users, counts, n_emit, reads, index, scheme, thresholder,
+        dfs_rank, hcap)
+
+    host_hl = search_hashes(reads, scheme)
+    n_hits = 0
+    for r, seq in enumerate(reads):
+        hl = host_hl[r]
+        assert hash_counts[r] == hl.shape[0], r
+        thr = _read_threshold(thresholder, hl.shape[0], len(seq),
+                              scheme.kmer_size)
+        expect = index.hixf.membership(hl, thr)
+
+        def final(prs):
+            if not prs:
+                return []
+            mx = max(c for _, c in prs)
+            return sorted((u, c) for u, c in prs
+                          if not float(c) < float(mx) * 0.8)
+
+        assert final(pairs[r]) == final(expect), r
+        n_hits += bool(expect)
+    assert n_hits >= len(reads) // 2
