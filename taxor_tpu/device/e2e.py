@@ -29,10 +29,23 @@ from ..utils.u64jnp import probe_positions_and_fprint4, wyhash64
 from .pallas_probe import _HASH_UNROLL, _probe_call_chunked
 
 
+
+
+def _scaling_keep(hi, lo, scale_thresh: int):
+    """keep mask for FracMinHash scaling: wyhash64(h) <= T as a uint32
+    pair compare (T = schemes.scaling_threshold_u64, the exact integer
+    form of the reference's double comparison)."""
+    vhi, vlo = wyhash64(hi, lo)
+    thi = jnp.uint32(scale_thresh >> 32)
+    tlo = jnp.uint32(scale_thresh & 0xFFFFFFFF)
+    return (vhi < thi) | ((vhi == thi) & (vlo <= tlo))
+
+
 def make_hixf_e2e_grouped_fn(groups, leaf_users, k: int, s: int, t: int,
                              topk: int, interpret: bool = False,
                              scheme_kind: str = "syncmer",
-                             window: int = 0):
+                             window: int = 0,
+                             scale_thresh: int = 0):
     """Fused hierarchical search with LEVEL-GROUPED probing.
 
     IXFs sharing (seed, block_length) — which the builder's uniform level
@@ -70,6 +83,9 @@ def make_hixf_e2e_grouped_fn(groups, leaf_users, k: int, s: int, t: int,
             hi, lo, valid, n_emit = minimizer_kmers(
                 packed_reads, lengths, k, window)
             n_unique = n_emit
+        if scale_thresh:  # FracMinHash downsampling (exact integer form)
+            valid = valid & _scaling_keep(hi, lo, scale_thresh)
+            n_unique = valid.sum(axis=1, dtype=jnp.int32)
         thr = thr_table[jnp.clip(n_unique, 0, thr_table.shape[0] - 1)]
         active = {0: jnp.ones((R,), dtype=bool)}
         leaf_vals = []
@@ -118,7 +134,8 @@ def make_hixf_e2e_grouped_fn(groups, leaf_users, k: int, s: int, t: int,
 @functools.partial(
     jax.jit,
     static_argnames=("k", "s", "t", "hcap", "topk", "bin_tile4",
-                     "interpret", "scheme_kind", "window"),
+                     "interpret", "scheme_kind", "window",
+                     "scale_thresh"),
 )
 def fused_e2e_step(
     fp_packed,  # int32 [S+1, B4] (prepare_fingerprints)
@@ -139,6 +156,7 @@ def fused_e2e_step(
     interpret: bool = False,
     scheme_kind: str = "syncmer",
     window: int = 0,
+    scale_thresh: int = 0,
 ):
     """Returns packed int32 [R, 2*topk + 2]:
     [:, :topk] descending raw run sums, [:, topk:2*topk] their user bins
@@ -157,6 +175,9 @@ def fused_e2e_step(
         hi, lo, valid, n_emit = minimizer_kmers(raw_reads, lengths, k,
                                                 window)
         n_unique = n_emit
+    if scale_thresh:  # FracMinHash downsampling (exact integer form)
+        valid = valid & _scaling_keep(hi, lo, scale_thresh)
+        n_unique = valid.sum(axis=1, dtype=jnp.int32)
     pos, f4 = probe_positions_and_fprint4(hi, lo, seed_hi, seed_lo,
                                           block_length)
     S1 = fp_packed.shape[0]

@@ -43,6 +43,16 @@ class _DeviceIXF:
     bl_u32: jax.Array | None = None
 
 
+def _scale_thresh(scheme) -> int:
+    """Static FracMinHash keep-threshold for the device filter; 0 means
+    no downsampling (see schemes.scaling_threshold_u64)."""
+    if scheme.scaling <= 1:
+        return 0
+    from ..hash.schemes import scaling_threshold_u64
+
+    return scaling_threshold_u64(scheme.scaling)
+
+
 def _default_engine() -> str:
     import jax
 
@@ -452,7 +462,7 @@ class DeviceHIXF:
         call (e2e.make_hixf_e2e_grouped_fn) — the builder's uniform level
         geometry makes whole levels one group."""
         key = (scheme.kmer_size, scheme.syncmer_size, scheme.t_syncmer,
-               scheme.use_syncmer, scheme.window_size, k)
+               scheme.use_syncmer, scheme.window_size, scheme.scaling, k)
         cache = getattr(self, "_hixf_e2e_cache", None)
         if cache is None:
             cache = self._hixf_e2e_cache = {}
@@ -482,6 +492,7 @@ class DeviceHIXF:
                 scheme_kind=("syncmer" if scheme.use_syncmer
                              else "minimizer"),
                 window=scheme.window_size,
+                scale_thresh=_scale_thresh(scheme),
             )
         return cache[key]
 
@@ -654,6 +665,7 @@ class DeviceHIXF:
             bin_tile4=choose_bin_tile4(*dixf.fp.shape),
             scheme_kind="syncmer" if scheme.use_syncmer else "minimizer",
             window=scheme.window_size,
+            scale_thresh=_scale_thresh(scheme),
             interpret=getattr(self, "_interpret", False),
         )
         try:

@@ -54,7 +54,7 @@ def supports(scheme) -> bool:
     """Whether the device extractor covers this hash scheme."""
     return (
         scheme.use_syncmer
-        and scheme.scaling == 1
+        and scheme.scaling >= 1
         and 2 <= scheme.syncmer_size <= 15
         and scheme.syncmer_size < scheme.kmer_size <= 32
     )
@@ -532,7 +532,7 @@ def supports_minimizer(scheme) -> bool:
     """Whether the device minimizer/k-mer extractor covers this scheme."""
     return (
         not scheme.use_syncmer
-        and scheme.scaling == 1
+        and scheme.scaling >= 1
         and 2 <= scheme.kmer_size <= 32
         and scheme.window_size >= scheme.kmer_size
     )

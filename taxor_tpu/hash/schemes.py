@@ -53,6 +53,25 @@ class HashScheme:
         )
 
 
+def scaling_threshold_u64(scaling: int) -> int:
+    """Largest uint64 T with float64(T) <= float64(UINT64_MAX)/scaling.
+
+    The reference's FracMinHash keep-test is a DOUBLE comparison
+    (taxor_search.cpp:229: ``double(v) <= double(UINT64_MAX)/double(
+    scaling)``); double(v) is monotone in v, so the test is exactly
+    ``v <= T`` for this integer threshold — which the device applies as
+    a uint32-pair compare with no float math at all."""
+    if scaling <= 1:
+        return (1 << 64) - 1
+    limit = np.float64(np.uint64(0xFFFFFFFFFFFFFFFF)) / np.float64(scaling)
+    t = min(int(limit), (1 << 64) - 1)
+    while t + 1 < (1 << 64) and np.float64(t + 1) <= limit:
+        t += 1
+    while t > 0 and np.float64(t) > limit:
+        t -= 1
+    return t
+
+
 def scaling_filter(hashes: np.ndarray, scaling: int) -> np.ndarray:
     """FracMinHash downsampling with the reference's double-precision
     compare."""

@@ -111,11 +111,15 @@ def search_single(
         and device_hixf is not None
         and hasattr(device_hixf, "e2e_capable")
         and device_hixf.e2e_capable(thresholder)
-        and (dsync.supports(scheme)
-             # minimizer/plain-k-mer device extraction: single-device
-             # fused paths only (the sharded fns extract syncmers)
-             or (dsync.supports_minimizer(scheme)
-                 and getattr(device_hixf, "mesh", None) is None))
+        and (
+            (dsync.supports(scheme)
+             and (scheme.scaling == 1
+                  or getattr(device_hixf, "mesh", None) is None))
+            # minimizer/plain-k-mer device extraction: single-device
+            # fused paths only (the sharded fns extract syncmers,
+            # unscaled)
+            or (dsync.supports_minimizer(scheme)
+                and getattr(device_hixf, "mesh", None) is None))
     )
 
     def _hash_thresholds(hash_counts, seqs):
@@ -366,7 +370,10 @@ def _pairs_from_e2e(vals, users, counts, n_emit, seqs, index, scheme,
         if t is None:
             t = thr_cache[key] = _read_threshold(
                 thresholder, key[0], key[1], k_sch)
-        thr[r] = t
+        # size_t-wrapped "impossible" thresholds are >= 2^63 and would
+        # overflow int64; any value above every possible count is
+        # equivalent for the comparisons below
+        thr[r] = min(t, 2**62)
     ok = (vals >= thr[:, None]) & (users >= 0)
     n = ok.sum(axis=1)  # vals descending => ok is a prefix
     f64 = np.float64

@@ -147,7 +147,9 @@ def test_supports_gating():
     assert supports(HashScheme.make(22, 12, None, True))
     assert not supports(HashScheme.make(22, 12, None, False))  # kmer path
     assert not supports(HashScheme.make(22, 16, None, True))  # s too big
-    assert not supports(HashScheme.make(22, 12, None, True, scaling=2))
+    # FracMinHash scaling is supported on device (round 2): the double
+    # keep-test becomes an exact integer threshold compare
+    assert supports(HashScheme.make(22, 12, None, True, scaling=2))
 
 
 @pytest.mark.parametrize("k,s", [(16, 8), (22, 12), (17, 14), (15, 13)])
