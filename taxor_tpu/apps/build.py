@@ -14,7 +14,7 @@ Replicates src/main/taxor_build.cpp:545-597:
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

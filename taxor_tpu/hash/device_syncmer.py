@@ -38,7 +38,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..utils.u64jnp import wyhash64
-from .encode import encode_dna4
+
 
 U32 = jnp.uint32
 _UMAX32 = 0xFFFFFFFF

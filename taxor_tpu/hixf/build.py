@@ -22,8 +22,6 @@ Deviations (documented):
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass
-
 import numpy as np
 
 from ..hash.schemes import HashScheme, build_hashes

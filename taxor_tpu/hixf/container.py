@@ -18,7 +18,7 @@ the DFS order of the recursion — the search TSV row order depends on it.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

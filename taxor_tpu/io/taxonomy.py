@@ -6,7 +6,7 @@ taxutil.cpp:9-26.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 
 @dataclass
