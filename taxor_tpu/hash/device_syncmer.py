@@ -455,6 +455,10 @@ def dedup_kmers(khi, klo, emit, hcap: int, min_gap: int = 1):
     min_gap (emission_min_gap(k, s, t)) enables the exact block
     compaction, shrinking the sorted width ~min(min_gap, 4)x — the sort
     is the dominant cost of this step."""
+    # force the extraction outputs to materialize: without the barrier
+    # XLA fuses the producers into the compaction's many selects and
+    # recomputes them per consumer (~3 ms/pass on the bench shape)
+    khi, klo, emit = jax.lax.optimization_barrier((khi, klo, emit))
     n_emit = emit.sum(axis=1, dtype=jnp.int32)
     sent = jnp.uint32(_UMAX32)
     compacted = _block_compact(khi, klo, emit, min_gap)
