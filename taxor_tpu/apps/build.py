@@ -157,6 +157,7 @@ def run_build(config: BuildConfig) -> TaxorIndex:
         return np.unique(np.concatenate(parts))
 
     hixf, _ = build_hixf_from_layout(layout, scheme, hash_fn=hash_fn,
+                                     spill_dir=config.spill_dir or None,
                                      threads=config.threads)
 
     # per-species bookkeeping (taxor_build.cpp:516-527)

@@ -332,3 +332,24 @@ class TestBuildArtifactsAndResume:
         ))
         out = capsys.readouterr().out
         assert "expected query cost" in out and "chosen t_max" in out
+
+
+class TestSpillHierarchicalBuild:
+    def test_spill_hier_build_matches_ram_build(self, ref_set, tmp_path):
+        """The two-phase uniform-level-geometry builder must produce
+        identical fingerprints with per-bin hash lists spilled to disk
+        (the hixf_tmp/ analog) on a genuinely hierarchical layout."""
+        tmp, tsv, gdir, genomes, reads = ref_set
+        cfg = dict(
+            input_file=tsv, input_sequence_dir=gdir, output_filename="",
+            kmer_size=16, syncmer_size=8, use_syncmer=True,
+            layout_mode="auto", tmax=64,
+            layout_file=os.path.join(str(tmp_path), "b.out"),
+        )
+        idx_ram = run_build(BuildConfig(**cfg))
+        spill = os.path.join(str(tmp_path), "spill_tmp")
+        idx_spill = run_build(BuildConfig(**cfg, spill_dir=spill))
+        assert len(idx_ram.hixf.ixfs) == len(idx_spill.hixf.ixfs)
+        for a, b in zip(idx_ram.hixf.ixfs, idx_spill.hixf.ixfs):
+            np.testing.assert_array_equal(a.fingerprints, b.fingerprints)
+        assert os.path.isdir(spill)
