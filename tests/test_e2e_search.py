@@ -353,3 +353,57 @@ class TestSpillHierarchicalBuild:
         for a, b in zip(idx_ram.hixf.ixfs, idx_spill.hixf.ixfs):
             np.testing.assert_array_equal(a.fingerprints, b.fingerprints)
         assert os.path.isdir(spill)
+
+
+class TestTopkEscalation:
+    def test_near_identical_refs_device_matches_host(self, tmp_path,
+                                                     monkeypatch):
+        """Near-identical reference sets fill every top-k slot with
+        co-equal counts; the pipeline escalates the device candidate
+        width (16 -> 64 -> 256) across batches and the output must stay
+        identical to the host engine either way (truncated reads fall
+        back to the exact host oracle)."""
+        from taxor_tpu.device import hixf_search as hs
+
+        tmp = str(tmp_path)
+        rng = np.random.default_rng(9)
+        tsv, gdir, genomes = make_ref_set(tmp, rng, n_species=40,
+                                          genome_len=6000)
+        # every genome = the first genome with 0.5% point mutations
+        base = genomes[sorted(genomes)[0]]
+        arr0 = np.frombuffer(base, dtype=np.uint8).copy()
+        bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+        for acc in sorted(genomes):
+            arr = arr0.copy()
+            idx = rng.choice(len(arr), size=len(arr) // 200, replace=False)
+            arr[idx] = bases[rng.integers(0, 4, idx.shape[0])]
+            genomes[acc] = arr.tobytes()
+            with open(os.path.join(gdir, f"{acc}_genomic.fna"), "wb") as fh:
+                fh.write(b">" + acc.encode() + b"\n" + genomes[acc] + b"\n")
+        reads = make_reads(tmp, rng, genomes, n_reads_per_genome=2,
+                           read_len=800, error_rate=0.02)
+        index = run_build(BuildConfig(
+            input_file=tsv, input_sequence_dir=gdir, output_filename="",
+            kmer_size=16, syncmer_size=8, use_syncmer=True,
+            layout_mode="flat", layout_file="",
+        ))
+        idx_file = os.path.join(tmp, "ni.taxor.npz")
+        from taxor_tpu.hixf.index import save_index
+        save_index(idx_file, index)
+
+        host_tsv = os.path.join(tmp, "host.tsv")
+        run_search(SearchConfig(index_file=idx_file, query_file=reads,
+                                report_file=host_tsv, engine="host"))
+
+        # CPU: force the fused pallas path in interpreter mode so the
+        # escalation logic actually runs; small batches create multiple
+        # chunks so the escalated width applies to later ones
+        monkeypatch.setattr(hs, "_default_engine", lambda: "pallas")
+        monkeypatch.setattr(hs.DeviceHIXF, "_interpret", True,
+                            raising=False)
+        dev_tsv = os.path.join(tmp, "dev.tsv")
+        run_search(SearchConfig(index_file=idx_file, query_file=reads,
+                                report_file=dev_tsv, engine="device",
+                                batch_size=20))
+        with open(host_tsv) as a, open(dev_tsv) as b:
+            assert a.read() == b.read()
