@@ -4,9 +4,12 @@ The search path reads bases through dna4 traits (ambiguity -> A,
 src/main/taxor_search.cpp:181), so the scanner has NO N-resets — which
 makes the state machine mostly position-parallel:
 
-  - 2-bit rolling k-mer/s-mer values on both strands are ordinary
-    sliding-window polynomials -> computed for EVERY position with s (resp.
-    2k) shifted adds over the [R, L] base matrix (VPU-wide, no scan),
+  - 2-bit k-mer/s-mer values on both strands come straight from the
+    16-base packed STREAM WORDS: per phase (i mod 16) a static funnel
+    shift of 2-3 adjacent words yields the window bits, the reverse
+    strand is its bitwise complement and the forward strand its
+    2-bit-field reversal — all on [R, L/16] arrays (16x less roll
+    traffic than per-base sliding sums),
   - only the window-minimum tracker is genuinely sequential: the
     reference keeps a stateful minimum with hysteresis (leftmost min on
     the first window; on evicting the tracked min, recompute as the
@@ -25,8 +28,9 @@ than shipping extracted hashes; the ~130 MB/s host->device tunnel link
 is the end-to-end bottleneck, so bytes on the wire dominate the design.
 
 Restrictions (callers fall back to the host scanner otherwise):
-s <= 15 (s-mer fits uint32), k <= 32, scaling == 1, dna4 search
-semantics.  Build-time counting keeps the host dna5 path.
+s <= 15 (s-mer fits uint32), k <= 32, dna4 search semantics.
+FracMinHash scaling applies on device as an exact integer threshold.
+Build-time counting keeps the host dna5 path.
 """
 
 from __future__ import annotations
@@ -121,92 +125,90 @@ def pack_reads(seqs: list[bytes], L: int):
     return packed, lengths.astype(np.int32)
 
 
-def _codes_from_packed(packed):
-    """uint8 [R, L/4] (pack_reads) -> uint32 [R, L] codes in {0..3}."""
+def _rev2_32(v):
+    """Reverse the 2-bit fields of a uint32 (4 masked swap levels)."""
+    v = (v >> U32(16)) | (v << U32(16))
+    v = ((v & U32(0xFF00FF00)) >> U32(8)) | ((v & U32(0x00FF00FF)) << U32(8))
+    v = ((v & U32(0xF0F0F0F0)) >> U32(4)) | ((v & U32(0x0F0F0F0F)) << U32(4))
+    v = ((v & U32(0xCCCCCCCC)) >> U32(2)) | ((v & U32(0x33333333)) << U32(2))
+    return v
+
+
+def _stream_words(packed):
+    """uint8 [R, L/4] (pack_reads) -> little-endian uint32 stream words
+    [R, L/16]: base i sits at bits 2*(i%16) of word i//16."""
     R, W = packed.shape
-    p = packed.astype(jnp.uint32)
-    shifts = (2 * jnp.arange(4, dtype=jnp.uint32))[None, None, :]
-    codes = (p[:, :, None] >> shifts) & jnp.uint32(3)
-    return codes.reshape(R, W * 4)
+    p = packed.astype(jnp.uint32).reshape(R, W // 4, 4)
+    sh = (8 * jnp.arange(4, dtype=jnp.uint32))[None, None, :]
+    return (p << sh).sum(axis=2).astype(jnp.uint32)
 
 
-def _pair_shift_or(ahi, alo, bhi, blo, bits: int):
-    """(a << bits) | b on (hi, lo) u32 pairs; b's value must fit in the
-    low `bits` bits (true by construction: b packs bits/2 bases)."""
-    if bits >= 64:
-        raise ValueError(bits)
-    if bits == 32:
-        return alo | bhi, blo
-    if bits > 32:
-        return (alo << jnp.uint32(bits - 32)) | bhi, blo
-    hi = (ahi << jnp.uint32(bits)) | (alo >> jnp.uint32(32 - bits)) | bhi
-    lo = (alo << jnp.uint32(bits)) | blo
-    return hi, lo
+def _rolling_packed_words(packed, m: int):
+    """(fhi, flo, rhi, rlo) of the m-mer ending at each base position
+    (junk for i < m-1), extracted straight from 16-base STREAM WORDS.
 
-
-def _rolling_packed(codes, m: int):
-    """(fhi, flo, rhi, rlo) of the m-mer ending at each position (junk
-    for i < m-1), built with LOG-DEPTH doubling combines instead of m
-    per-base rolls: window(a+b) splits into an older a-part (ending b
-    earlier) and the newest b-part —
-        fwd_{a+b}[i] = fwd_a[i-b] << 2b | fwd_b[i]
-        rev_{a+b}[i] = rev_b[i] << 2a | rev_a[i-b]
-    (fwd packs the oldest base most-significant; rev packs the newest
-    base most-significant, complemented — syncmer.cpp:97-104 semantics).
+    For each of the 16 phases c = i % 16 the window is a static funnel
+    shift of 2-3 adjacent words — all shifts/rolls run on [R, L/16]
+    arrays, 16x less traffic than rolling [R, L] code matrices.  The
+    stream packs the OLDEST base at the low bits of the window value X,
+    which IS the reference's reverse-strand orientation complemented:
+    rev = ~X (2-bit complement == bitwise NOT), and the forward strand
+    is the 2-bit-field reversal of X (syncmer.cpp:97-104 semantics).
     """
-    zeros = jnp.zeros_like(codes)
-    comp = jnp.uint32(3) - codes
-    vals = {1: (zeros, codes, zeros, comp)}
+    Wrd = _stream_words(packed)  # [R, nw]
+    R, nw = Wrd.shape
+    L = nw * 16
+    mask_lo = U32(0xFFFFFFFF) if m >= 16 else U32((1 << (2 * m)) - 1)
+    mask_hi = U32(0) if m <= 16 else U32((1 << (2 * m - 32)) - 1)
+    outs = [[None] * 16 for _ in range(4)]
+    rolled = {}
 
-    def get(n: int):
-        if n in vals:
-            return vals[n]
-        a = 1 << (n.bit_length() - 1)
-        if a == n:
-            a = n // 2
-        b = n - a
-        A = get(a)
-        B = get(b)
-        Ar = tuple(jnp.roll(x, b, axis=1) for x in A)
-        fhi, flo = _pair_shift_or(Ar[0], Ar[1], B[0], B[1], 2 * b)
-        rhi, rlo = _pair_shift_or(B[2], B[3], Ar[2], Ar[3], 2 * a)
-        vals[n] = (fhi, flo, rhi, rlo)
-        return vals[n]
+    def wshift(d):
+        if d not in rolled:
+            rolled[d] = jnp.roll(Wrd, -d, axis=1) if d else Wrd
+        return rolled[d]
 
-    return get(m)
-
-
-def _rolling_smers(codes, s: int):
-    """Canonical s-mer value ending at each position (junk for i < s-1).
-    s <= 15 so values fit uint32: run the doubling on the low words only.
-    """
-    comp = jnp.uint32(3) - codes
-    vals = {1: (codes, comp)}
-
-    def get(n: int):
-        if n in vals:
-            return vals[n]
-        a = 1 << (n.bit_length() - 1)
-        if a == n:
-            a = n // 2
-        b = n - a
-        af, ar = get(a)
-        bf, br = get(b)
-        af = jnp.roll(af, b, axis=1)
-        ar = jnp.roll(ar, b, axis=1)
-        vals[n] = ((af << jnp.uint32(2 * b)) | bf,
-                   (br << jnp.uint32(2 * a)) | ar)
-        return vals[n]
-
-    fwd, rev = get(s)
-    return jnp.minimum(fwd, rev)
+    for c in range(16):
+        off = 2 * c - 2 * m + 2
+        jb = off >> 5          # arithmetic floor
+        sh = off - 32 * jb     # 0..31
+        w0, w1, w2 = wshift(jb), wshift(jb + 1), wshift(jb + 2)
+        if sh == 0:
+            lo, hi = w0, w1
+        else:
+            lo = (w0 >> U32(sh)) | (w1 << U32(32 - sh))
+            hi = (w1 >> U32(sh)) | (w2 << U32(32 - sh))
+        lo = lo & mask_lo if m < 16 else lo
+        hi = hi & mask_hi
+        rlo = (~lo) & mask_lo
+        rhi = (~hi) & mask_hi
+        fr_lo = _rev2_32(hi)
+        fr_hi = _rev2_32(lo)
+        s64 = 64 - 2 * m
+        if s64 == 0:
+            flo, fhi = fr_lo, fr_hi
+        elif s64 < 32:
+            flo = (fr_lo >> U32(s64)) | (fr_hi << U32(32 - s64))
+            fhi = fr_hi >> U32(s64)
+        else:
+            flo = fr_hi >> U32(s64 - 32) if s64 > 32 else fr_hi
+            fhi = jnp.zeros_like(fr_hi)
+        outs[0][c], outs[1][c], outs[2][c], outs[3][c] = fhi, flo, rhi, rlo
+    return tuple(
+        jnp.stack(outs[t], axis=2).reshape(R, L) for t in range(4))
 
 
-def _rolling_kmers(codes, k: int):
-    """Canonical k-mer (hi, lo) uint32 pairs ending at each position
-    (junk for i < k-1).  k <= 32 -> 2k bits across the pair."""
-    fhi, flo, rhi, rlo = _rolling_packed(codes, k)
-    # canonical = unsigned 64-bit min
+def _rolling_smers(packed, s: int):
+    """Canonical s-mer value ending at each base position (junk for
+    i < s-1); s <= 15 so values fit the low words."""
+    _, flo, _, rlo = _rolling_packed_words(packed, s)
+    return jnp.minimum(flo, rlo)
+
+
+def _rolling_kmers(packed, k: int):
+    """Canonical k-mer (hi, lo) uint32 pairs ending at each base
+    position (junk for i < k-1).  k <= 32 -> 2k bits across the pair."""
+    fhi, flo, rhi, rlo = _rolling_packed_words(packed, k)
     f_less = (fhi < rhi) | ((fhi == rhi) & (flo < rlo))
     chi = jnp.where(f_less, fhi, rhi)
     clo = jnp.where(f_less, flo, rlo)
@@ -283,10 +285,10 @@ def syncmer_kmers(packed_reads, lengths, k: int, s: int, t: int):
     here so callers can dedup on raw k-mers first (cheaper: the wyhash
     runs on the compacted [R, hcap] slice, not all L positions)."""
     w = k - s + 1
-    codes = _codes_from_packed(packed_reads)
-    R, L = codes.shape
-    ys = _rolling_smers(codes, s)  # [R, L] canonical smers (end-indexed)
-    khi, klo = _rolling_kmers(codes, k)
+    R = packed_reads.shape[0]
+    L = packed_reads.shape[1] * 4
+    ys = _rolling_smers(packed_reads, s)  # [R, L] canonical smers
+    khi, klo = _rolling_kmers(packed_reads, k)
 
     # Sliding rightmost-min of every window, PRECOMPUTED in parallel
     # (van Herk/Gil-Werman) — the only part of the reference tracker
@@ -617,9 +619,9 @@ def minimizer_kmers(packed_reads, lengths, k: int, window: int):
     from .minimizer import adjust_seed
 
     wprime = window - k + 1
-    codes = _codes_from_packed(packed_reads)
-    R, L = codes.shape
-    fhi, flo, rhi, rlo = _rolling_packed(codes, k)
+    R = packed_reads.shape[0]
+    L = packed_reads.shape[1] * 4
+    fhi, flo, rhi, rlo = _rolling_packed_words(packed_reads, k)
     seed = adjust_seed(k)
     shi = jnp.uint32(seed >> 32)
     slo = jnp.uint32(seed & 0xFFFFFFFF)
