@@ -123,10 +123,14 @@ def search_single(
     )
 
     def _hash_thresholds(hash_counts, seqs):
+        # size_t-wrapped "impossible" thresholds are >= 2^63 and would
+        # overflow the int64 array; any value above every possible count
+        # is equivalent downstream (mirrors _pairs_from_e2e's clamp)
         return np.array(
             [
-                thresholder.get(
-                    hc, _scaling_ratio(hc, len(s), scheme.kmer_size))
+                min(thresholder.get(
+                    hc, _scaling_ratio(hc, len(s), scheme.kmer_size)),
+                    2**62)
                 for hc, s in zip(hash_counts, seqs)
             ],
             dtype=np.int64,
@@ -196,8 +200,18 @@ def search_single(
     POS_BUDGET = 2048 * 2048
 
     # device top-k candidate slots, shared across batches: escalated when
-    # a batch shows a non-trivial truncation-fallback fraction
-    topk_state = {"k": max(1, int(config.topk))}
+    # a batch shows a non-trivial truncation-fallback fraction.  Workers
+    # race on it, so escalation is a locked compare-and-step from the k
+    # the batch actually ran at (prevents double-stepping the ladder).
+    import threading
+
+    topk_state = {"k": max(1, int(config.topk)),
+                  "lock": threading.Lock()}
+
+    def _escalate_topk(ran_at_k: int):
+        with topk_state["lock"]:
+            if topk_state["k"] == ran_at_k and ran_at_k < 256:
+                topk_state["k"] = min(256, ran_at_k * 4)
 
     def _pad_rows(n: int) -> int:
         return max(16, 1 << (n - 1).bit_length())
@@ -246,14 +260,19 @@ def search_single(
                 # of reads hit the device top-k ceiling (falling back to
                 # the host oracle), widen k for subsequent batches — one
                 # recompile per step of the bounded 16->64->256 ladder
+                # measure fallback on the real reads only: padded rows
+                # have vals==0 / users==0 and would read as truncated
                 kk = vals.shape[1]
-                nv = (vals >= 0).sum(axis=1)
+                Rr = len(part)
+                rv = np.asarray(vals)[:Rr]
+                nv = (rv >= 0).sum(axis=1)
                 fb = ((nv == kk)
-                      & (vals[:, kk - 1].astype(np.float64)
-                         >= vals[:, 0].astype(np.float64) * 0.8))
-                fb |= np.asarray(n_emit) > hcap
-                if fb.mean() > 0.02 and topk_state["k"] < 256:
-                    topk_state["k"] = min(256, topk_state["k"] * 4)
+                      & (rv[:, kk - 1].astype(np.float64)
+                         >= rv[:, 0].astype(np.float64) * 0.8)
+                      & (rv[:, 0] > 0))
+                fb |= np.asarray(n_emit)[:Rr] > hcap
+                if fb.mean() > 0.02:
+                    _escalate_topk(topk)
                 prs, hcs = _pairs_from_e2e(
                     vals, users, counts, n_emit, gseqs, index, scheme,
                     thresholder, dfs_rank, hcap)

@@ -158,14 +158,19 @@ def syncmer_match_ratio(k: int, error_rate: float) -> float:
 
 def containment_index_ci(r: float, k: int, count: int, scaling: float,
                          confidence: float = 0.95):
-    """FracMinHash containment CI (fracminhash_model.cpp:9-33)."""
+    """FracMinHash containment CI (fracminhash_model.cpp:9-33).
+
+    IEEE division throughout: count == 0 (read shorter than k) makes the
+    count**2 / count**3 denominators 0.0, and the reference's C double
+    math yields inf/NaN which the caller's size_t cast maps to the
+    'impossible' sentinel — it must not raise ZeroDivisionError here."""
     exp_ci = (1.0 - r) ** k
     nmut = expected_nmut_kmer(r, k, count)
     nmut_sq = nmut**2 + variance_nmut_kmer(r, k, count)
-    term3 = variance_nmut_kmer(r, k, count) / count**2
+    term3 = _ieee_div(variance_nmut_kmer(r, k, count), float(count**2))
     term2 = count * nmut - nmut_sq
     denominator = scaling * count**3 * (1.0 - (1.0 - scaling) ** count) ** 2
-    term1 = (1.0 - scaling) / denominator
+    term1 = _ieee_div(1.0 - scaling, denominator)
     var = term1 * term2 + term3
     z = normal_cdf_inverse(1.0 - (1.0 - confidence) / 2.0)
     return exp_ci - z * _ieee_sqrt(var), exp_ci + z * _ieee_sqrt(var)

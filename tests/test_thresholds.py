@@ -85,6 +85,27 @@ class TestFracMinHash:
         th = Thresholder.make(20, 30, 0.04, -1.0, use_syncmer=False)
         assert th.kind == "fracminhash"
 
+    def test_zero_count_is_impossible_not_a_crash(self):
+        # count==0 (read shorter than k): the reference's C double math
+        # divides by 0.0 -> inf/NaN -> size_t sentinel; the Python port
+        # must not raise ZeroDivisionError (fracminhash_model.cpp:23-33)
+        th = Thresholder.make(20, 30, 0.04, -1.0, use_syncmer=False)
+        assert th.get(0, float("nan")) >= INF_THRESHOLD
+
+
+class TestPipelineThresholdClamp:
+    def test_wrapped_threshold_fits_int64_batch(self):
+        # kmer_model get() for short reads size_t-wraps to >= 2^63; the
+        # pipeline batches thresholds into an int64 array and must clamp
+        # instead of raising OverflowError (ADVICE r2 #1)
+        import numpy as np
+
+        th = Thresholder.make(16, 16, 0.04, -1.0, use_syncmer=False)
+        v = th.get(10, 0.5)
+        assert v >= INF_THRESHOLD
+        arr = np.array([min(v, 2**62)], dtype=np.int64)
+        assert arr[0] == 2**62
+
 
 class TestSelection:
     def test_percentage_wins(self):
