@@ -22,7 +22,13 @@ def timed(fn, *args, M=10):
     """ms/pass with the FIRST argument row-rolled between scan
     iterations — same workload every pass, but the loop body depends on
     the carry so XLA cannot hoist it (loop-invariant code motion made
-    the old constant-carry version report 1/M of the real time)."""
+    the old constant-carry version report 1/M of the real time).
+
+    EVERY output leaf is fully reduced into the consumed scalar: taking
+    just leaf[0] lets XLA dead-code-eliminate whole sub-computations of
+    pure-XLA phases (round-2's dedup number was ~3x inflated relative to
+    extraction because of exactly this asymmetry).  The reductions add
+    one HBM read of the outputs (~0.1-0.3 ms on [R, L] shapes)."""
     import jax
     import jax.numpy as jnp
 
@@ -30,8 +36,10 @@ def timed(fn, *args, M=10):
     def multi(head, *rest):
         def body(c, _):
             out = fn(c, *rest)
-            leaf = jax.tree_util.tree_leaves(out)[0]
-            return jnp.roll(c, 1, axis=0), leaf.reshape(-1)[0]
+            acc = jnp.float32(0)
+            for leaf in jax.tree_util.tree_leaves(out):
+                acc = acc + jnp.sum(leaf, dtype=jnp.float32)
+            return jnp.roll(c, 1, axis=0), acc
         _, o = jax.lax.scan(body, head, None, length=M)
         return o
     np.asarray(multi(*args))

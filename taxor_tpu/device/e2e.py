@@ -76,7 +76,8 @@ def make_hixf_e2e_grouped_fn(groups, leaf_users, k: int, s: int, t: int,
         if scheme_kind == "syncmer":
             k_hi, k_lo, emit = syncmer_kmers(packed_reads, lengths, k, s, t)
             khi_c, klo_c, valid, n_unique, n_emit = dedup_kmers(
-                k_hi, k_lo, emit, hcap, emission_min_gap(k, s, t))
+                k_hi, k_lo, emit, hcap, emission_min_gap(k, s, t),
+                sort_impl="fused_interpret" if interpret else "auto")
             hi, lo = wyhash64(khi_c, klo_c)
         else:  # minimizer / plain k-mer: values probe directly, no
             # wyhash, duplicates kept (vector semantics)
@@ -169,7 +170,8 @@ def fused_e2e_step(
         assert hcap % _HASH_UNROLL == 0
         k_hi, k_lo, emit = syncmer_kmers(raw_reads, lengths, k, s, t)
         khi_c, klo_c, valid, n_unique, n_emit = dedup_kmers(
-            k_hi, k_lo, emit, hcap, emission_min_gap(k, s, t))
+            k_hi, k_lo, emit, hcap, emission_min_gap(k, s, t),
+            sort_impl="fused_interpret" if interpret else "auto")
         hi, lo = wyhash64(khi_c, klo_c)
     else:
         hi, lo, valid, n_emit = minimizer_kmers(raw_reads, lengths, k,

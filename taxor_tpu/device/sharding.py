@@ -135,7 +135,8 @@ def sharded_e2e_fn(mesh: Mesh, k: int, s: int, t: int, hcap: int,
              seed_hi, seed_lo, block_length):
         khi, klo, emit = syncmer_kmers(packed_local, len_local, k, s, t)
         chi, clo, valid, n_unique, n_emit = dedup_kmers(
-            khi, klo, emit, hcap, gap)
+            khi, klo, emit, hcap, gap,
+            sort_impl="fused_interpret" if interpret else "auto")
         hi, lo = wyhash64(chi, clo)
         # re-collect the reads row of this bins group (tiled: concat)
         gather = lambda x: jax.lax.all_gather(  # noqa: E731
@@ -230,7 +231,8 @@ def sharded_hixf_e2e_fn(mesh: Mesh, groups_meta, k: int, s: int,
              leaf_users, seeds_hi, seeds_lo, bls):
         khi, klo, emit = syncmer_kmers(packed_local, len_local, k, s, t)
         chi, clo, valid, n_unique, n_emit = dedup_kmers(
-            khi, klo, emit, hcap, gap)
+            khi, klo, emit, hcap, gap,
+            sort_impl="fused_interpret" if interpret else "auto")
         hi, lo = wyhash64(chi, clo)
         gather = lambda x: jax.lax.all_gather(  # noqa: E731
             x, "bins", axis=0, tiled=True)

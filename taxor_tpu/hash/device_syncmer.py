@@ -433,8 +433,20 @@ def _block_compact(khi, klo, emit, min_gap: int):
     return chi, clo, overflow
 
 
-@functools.partial(jax.jit, static_argnames=("hcap", "min_gap"))
-def dedup_kmers(khi, klo, emit, hcap: int, min_gap: int = 1):
+def _sort_for_dedup(shi, slo, sort_impl: str):
+    """The per-read pair sort used by the non-fused dedup tail."""
+    if sort_impl in ("pallas", "pallas_interpret"):
+        from ..device.pallas_sort import sort_pairs
+
+        return sort_pairs(shi, slo,
+                          interpret=(sort_impl == "pallas_interpret"))
+    return jax.lax.sort((shi, slo), dimension=1, num_keys=2)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("hcap", "min_gap", "sort_impl"))
+def dedup_kmers(khi, klo, emit, hcap: int, min_gap: int = 1,
+                sort_impl: str = "auto"):
     """Sort each read's emitted CANONICAL K-MERS, mask duplicates, slice
     to [R, hcap].  Returns (khi, klo, valid, n_unique, n_emit).
 
@@ -461,6 +473,17 @@ def dedup_kmers(khi, klo, emit, hcap: int, min_gap: int = 1):
     # XLA fuses the producers into the compaction's many selects and
     # recomputes them per consumer (~3 ms/pass on the bench shape)
     khi, klo, emit = jax.lax.optimization_barrier((khi, klo, emit))
+    if sort_impl == "auto":
+        sort_impl = ("fused" if jax.default_backend() == "tpu"
+                     else "xla")
+    if sort_impl in ("fused", "fused_interpret"):
+        # single-kernel path: full-width bitonic + uniq mask + counts in
+        # VMEM — the block compaction below costs more in [R, nb, B]
+        # relayout HBM traffic than the wider sort costs in VPU time
+        from ..device.pallas_sort import dedup_fused
+
+        return dedup_fused(khi, klo, emit, hcap,
+                           interpret=(sort_impl == "fused_interpret"))
     n_emit = emit.sum(axis=1, dtype=jnp.int32)
     sent = jnp.uint32(_UMAX32)
     compacted = _block_compact(khi, klo, emit, min_gap)
@@ -470,7 +493,7 @@ def dedup_kmers(khi, klo, emit, hcap: int, min_gap: int = 1):
     else:
         shi = jnp.where(emit, khi, sent)
         slo = jnp.where(emit, klo, sent)
-    shi, slo = jax.lax.sort((shi, slo), dimension=1, num_keys=2)
+    shi, slo = _sort_for_dedup(shi, slo, sort_impl)
     prev_hi = jnp.concatenate([~shi[:, :1], shi[:, :-1]], axis=1)
     prev_lo = jnp.concatenate([~slo[:, :1], slo[:, :-1]], axis=1)
     is_sent = (shi == sent) & (slo == sent)
