@@ -26,7 +26,30 @@ import numpy as np
 from ..hash.device_syncmer import (dedup_kmers, emission_min_gap,
                                    minimizer_kmers, syncmer_kmers)
 from ..utils.u64jnp import probe_positions_and_fprint4, wyhash64
+from .pallas_extract import syncmer_hashes_fused
 from .pallas_probe import _HASH_UNROLL, _probe_call_chunked
+
+# Extraction engine for the syncmer scheme: the single-kernel Pallas
+# extractor (pallas_extract) replaces the XLA scan + dedup pipeline
+# (3-5x cheaper on the bench shapes); reads with emission-ambiguous
+# tied window minima return the n_emit sentinel and fall back to the
+# host oracle (~0.5% of random 2 kb reads).  Flip to False to A/B the
+# scan-exact XLA path.
+USE_FUSED_EXTRACT = True
+
+
+def _syncmer_hashes(packed_reads, lengths, k, s, t, hcap, interpret):
+    """(hi, lo, valid, n_unique, n_emit) wyhashed sorted-unique syncmer
+    k-mers — fused Pallas kernel or the XLA scan path."""
+    if USE_FUSED_EXTRACT:
+        return syncmer_hashes_fused(packed_reads, lengths, k, s, t, hcap,
+                                    interpret=interpret)
+    k_hi, k_lo, emit = syncmer_kmers(packed_reads, lengths, k, s, t)
+    khi_c, klo_c, valid, n_unique, n_emit = dedup_kmers(
+        k_hi, k_lo, emit, hcap, emission_min_gap(k, s, t),
+        sort_impl="fused_interpret" if interpret else "auto")
+    hi, lo = wyhash64(khi_c, klo_c)
+    return hi, lo, valid, n_unique, n_emit
 
 
 
@@ -74,11 +97,8 @@ def make_hixf_e2e_grouped_fn(groups, leaf_users, k: int, s: int, t: int,
     def run(packed_reads, lengths, thr_table, hcap: int):
         R = packed_reads.shape[0]
         if scheme_kind == "syncmer":
-            k_hi, k_lo, emit = syncmer_kmers(packed_reads, lengths, k, s, t)
-            khi_c, klo_c, valid, n_unique, n_emit = dedup_kmers(
-                k_hi, k_lo, emit, hcap, emission_min_gap(k, s, t),
-                sort_impl="fused_interpret" if interpret else "auto")
-            hi, lo = wyhash64(khi_c, klo_c)
+            hi, lo, valid, n_unique, n_emit = _syncmer_hashes(
+                packed_reads, lengths, k, s, t, hcap, interpret)
         else:  # minimizer / plain k-mer: values probe directly, no
             # wyhash, duplicates kept (vector semantics)
             hi, lo, valid, n_emit = minimizer_kmers(
@@ -168,11 +188,8 @@ def fused_e2e_step(
     R = raw_reads.shape[0]
     if scheme_kind == "syncmer":
         assert hcap % _HASH_UNROLL == 0
-        k_hi, k_lo, emit = syncmer_kmers(raw_reads, lengths, k, s, t)
-        khi_c, klo_c, valid, n_unique, n_emit = dedup_kmers(
-            k_hi, k_lo, emit, hcap, emission_min_gap(k, s, t),
-            sort_impl="fused_interpret" if interpret else "auto")
-        hi, lo = wyhash64(khi_c, klo_c)
+        hi, lo, valid, n_unique, n_emit = _syncmer_hashes(
+            raw_reads, lengths, k, s, t, hcap, interpret)
     else:
         hi, lo, valid, n_emit = minimizer_kmers(raw_reads, lengths, k,
                                                 window)

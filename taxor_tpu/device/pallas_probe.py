@@ -141,6 +141,138 @@ def _kernel(pos_ref, fpr_ref, cnt_ref, fp_ref, out_ref):
 
 
 # ---------------------------------------------------------------------- #
+# replicated-row kernel: bins <= 512 (B4 <= 128, one vreg per row)
+# ---------------------------------------------------------------------- #
+# The sublane kernel above pays a dynamic sublane load + rotate for every
+# probe row — measured ~15.6 cycles/hash at 128-word rows, the narrow-
+# index floor called out in PHASES_r02.  This kernel tests the escape:
+# replicate each row across all 8 sublanes ([S1, 8, B4] — the
+# (8, B4<=128) minor dims tile exactly one vreg), so fp_ref[p] is ONE
+# aligned whole-vreg load with no rotate; a constant-mask select places
+# hash u's row on sublane u and the packed-byte SWAR pipeline applies
+# unchanged.  ~7 vector ops/hash vs ~11.
+#
+# MEASURED (bench shape, [2419, 128] table, 173 hashes/read, real v5e):
+# 24.55 ms vs 23.37 ms for the sublane kernel — NO speedup despite
+# halving the vector ops, because the narrow probe is bound by the
+# SCALAR core, not the VPU: per hash it must issue 4 SMEM reads
+# (3 positions + fingerprint), 3 address computations and 3 vector-load
+# issues — ~10-15 scalar-unit cycles that do not shrink with row
+# alignment.  The wide kernel (rows >= 8 vregs) lands at the same
+# ~15 cycles/hash while moving 16x the bytes — same scalar floor, which
+# is why it reaches 703 GB/s and the narrow kernel only 92.  Kept
+# behind USE_REPL_PROBE=False as the measured evidence for the floor
+# analysis (PHASES_r03.md); both VERDICT-suggested escapes are bounded
+# by the same scalar-issue cost.
+
+USE_REPL_PROBE = False
+_REPL_MAX_B4 = _LANE  # replicated rows must fit one vreg
+
+
+def _kernel_repl(pos_ref, fpr_ref, cnt_ref, fp_ref, out_ref):
+    """One read-tile grid cell over a replicated-row table.
+
+    pos_ref: int32 [RT, 1, H*3] (SMEM)
+    fpr_ref: int32 [RT, 1, H]   (SMEM) fingerprint replicated to 4 bytes
+    cnt_ref: int32 [RT, 1, 1]   (SMEM) bodies = ceil(valid / U)
+    fp_ref:  int32 [S+1, 8, BT4] (VMEM) rows replicated across sublanes
+    out_ref: int32 [RT, 4, BT4]
+    """
+    RT = pos_ref.shape[0]
+    BT4 = out_ref.shape[2]
+    U = _HASH_UNROLL
+    sub = jax.lax.broadcasted_iota(jnp.int32, (U, BT4), 0)
+
+    def read_body(r, _):
+        nb = cnt_ref[r, 0, 0]
+
+        def hash_body(hu, packed):
+            X = None
+            for u in range(U):
+                h = hu * U + u
+                p0 = pos_ref[r, 0, 3 * h]
+                p1 = pos_ref[r, 0, 3 * h + 1]
+                p2 = pos_ref[r, 0, 3 * h + 2]
+                f4 = fpr_ref[r, 0, h]
+                x = (fp_ref[p0] ^ fp_ref[p1] ^ fp_ref[p2]) ^ f4
+                X = x if u == 0 else jnp.where(sub == u, x, X)
+            nz = ((X & _LOW7) + _LOW7) | X
+            hits = jax.lax.shift_right_logical((~nz) & _SIGN, 7)
+            return packed + hits
+
+        def chunk_body(ci, accs):
+            a0, a1, a2, a3 = accs
+            lo = ci * _FLUSH_BODIES
+            hi = jnp.minimum(nb, lo + _FLUSH_BODIES)
+            packed = jax.lax.fori_loop(
+                lo, hi, hash_body, jnp.zeros((U, BT4), jnp.int32)
+            )
+            a0 = a0 + jnp.sum(packed & _B0, axis=0)
+            a1 = a1 + jnp.sum(
+                jax.lax.shift_right_logical(packed, 8) & _B0, axis=0)
+            a2 = a2 + jnp.sum(
+                jax.lax.shift_right_logical(packed, 16) & _B0, axis=0)
+            a3 = a3 + jnp.sum(
+                jax.lax.shift_right_logical(packed, 24), axis=0)
+            return (a0, a1, a2, a3)
+
+        zero = jnp.zeros((BT4,), jnp.int32)
+        nc = (nb + _FLUSH_BODIES - 1) // _FLUSH_BODIES
+        a0, a1, a2, a3 = jax.lax.fori_loop(
+            0, nc, chunk_body, (zero, zero, zero, zero)
+        )
+        out_ref[r, 0, :] = a0
+        out_ref[r, 1, :] = a1
+        out_ref[r, 2, :] = a2
+        out_ref[r, 3, :] = a3
+        return 0
+
+    jax.lax.fori_loop(0, RT, read_body, 0)
+
+
+def _repl_eligible(S1: int, B4: int) -> bool:
+    return (B4 <= _REPL_MAX_B4
+            and S1 * 8 * _LANE * 4 <= _FP_VMEM_SINGLE)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _probe_call_repl(fp_packed, pos, fpr4, bodies, interpret):
+    """Replicated-row probe: fp_packed [S1, B4] with B4 <= 128.  Same
+    contract as _probe_call with bin_tile4 == B4 (single column tile).
+    The 8x replication materializes per call (an HBM write of 8x the
+    table, ~10 MB / ~15 us on the bench shape — noise vs the probe)."""
+    R, _, H3 = pos.shape
+    H = H3 // 3
+    S1, B4 = fp_packed.shape
+    RT = _READ_TILE
+    fp3 = jnp.broadcast_to(fp_packed[:, None, :], (S1, 8, B4))
+    if B4 < _LANE:  # pad to full lanes so the minor dims tile one vreg
+        fp3 = jnp.pad(fp3, ((0, 0), (0, 0), (0, _LANE - B4)))
+    BT4 = fp3.shape[2]
+    grid = (R // RT,)
+    out = pl.pallas_call(
+        _kernel_repl,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((RT, 1, H3), lambda r: (r, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((RT, 1, H), lambda r: (r, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((RT, 1, 1), lambda r: (r, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((S1, 8, BT4), lambda r: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((RT, 4, BT4), lambda r: (r, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((R, 4, BT4), jnp.int32),
+        interpret=interpret,
+    )(pos, fpr4, bodies, fp3)
+    # de-interleave: bin 4w+j lives at out[:, j, w]; drop lane padding
+    return jnp.moveaxis(out[:, :, :B4], 1, 2).reshape(R, 4 * B4)
+
+
+# ---------------------------------------------------------------------- #
 # wide-row kernel: bins >= 4096
 # ---------------------------------------------------------------------- #
 # A dynamic row read of a 2-D [S, BT4] VMEM block lands on sublane p%8 of
@@ -295,6 +427,21 @@ def _probe_call_chunked(fp_packed, pos, f4i, valid, bin_tile4, interpret):
     Dispatches to the wide-row kernel when the geometry allows."""
     R, H, _ = pos.shape
     S1, B4 = fp_packed.shape
+    if USE_REPL_PROBE and _repl_eligible(S1, B4):
+        call = lambda fp, p, f, b, bt, itp: _probe_call_repl(  # noqa: E731
+            fp, p, f, b, itp)
+        unroll = _HASH_UNROLL
+        if H <= _H_CHUNK:
+            return call(fp_packed, pos.reshape(R, 1, H * 3),
+                        f4i[:, None, :], _body_counts(valid, unroll),
+                        bin_tile4, interpret)
+        assert H % _H_CHUNK == 0
+        nc = H // _H_CHUNK
+        pos2 = pos.reshape(R * nc, 1, _H_CHUNK * 3)
+        f4i2 = f4i.reshape(R * nc, 1, _H_CHUNK)
+        bodies = _body_counts(valid.reshape(R * nc, _H_CHUNK), unroll)
+        counts = call(fp_packed, pos2, f4i2, bodies, bin_tile4, interpret)
+        return counts.reshape(R, nc, -1).sum(axis=1)
     wide = _wide_eligible(B4, bin_tile4)
     if not wide and B4 % _WIDE_MIN_B4 == 0:
         # the chosen tile is too small for the wide layout (double

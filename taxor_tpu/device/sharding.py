@@ -107,15 +107,9 @@ def sharded_e2e_fn(mesh: Mesh, k: int, s: int, t: int, hcap: int,
     """
     import functools
 
-    from ..hash.device_syncmer import (
-        dedup_kmers,
-        emission_min_gap,
-        syncmer_kmers,
-    )
-    from ..utils.u64jnp import probe_positions_and_fprint4, wyhash64
+    from ..utils.u64jnp import probe_positions_and_fprint4
+    from .e2e import _syncmer_hashes
     from .pallas_probe import _probe_call_chunked, choose_bin_tile4
-
-    gap = emission_min_gap(k, s, t)
 
     @functools.partial(
         jax.shard_map,
@@ -133,11 +127,8 @@ def sharded_e2e_fn(mesh: Mesh, k: int, s: int, t: int, hcap: int,
     )
     def step(fp_local, packed_local, len_local, onehot_local, run_users,
              seed_hi, seed_lo, block_length):
-        khi, klo, emit = syncmer_kmers(packed_local, len_local, k, s, t)
-        chi, clo, valid, n_unique, n_emit = dedup_kmers(
-            khi, klo, emit, hcap, gap,
-            sort_impl="fused_interpret" if interpret else "auto")
-        hi, lo = wyhash64(chi, clo)
+        hi, lo, valid, n_unique, n_emit = _syncmer_hashes(
+            packed_local, len_local, k, s, t, hcap, interpret)
         # re-collect the reads row of this bins group (tiled: concat)
         gather = lambda x: jax.lax.all_gather(  # noqa: E731
             x, "bins", axis=0, tiled=True)
@@ -198,15 +189,10 @@ def sharded_hixf_e2e_fn(mesh: Mesh, groups_meta, k: int, s: int,
     (fused_e2e_step layout).  fps/onehots are per-GROUP tuples of
     bins-sharded arrays; seeds/bls are [n_groups] replicated vectors.
     """
-    from ..hash.device_syncmer import (
-        dedup_kmers,
-        emission_min_gap,
-        syncmer_kmers,
-    )
-    from ..utils.u64jnp import probe_positions_and_fprint4, wyhash64
+    from ..utils.u64jnp import probe_positions_and_fprint4
+    from .e2e import _syncmer_hashes
     from .pallas_probe import _probe_call_chunked, choose_bin_tile4
 
-    gap = emission_min_gap(k, s, t)
     n_groups = len(groups_meta)
     leaf_sels = [
         [jnp.asarray(m[4]) for m in members] for members in groups_meta
@@ -229,11 +215,8 @@ def sharded_hixf_e2e_fn(mesh: Mesh, groups_meta, k: int, s: int,
     )
     def step(fps, onehots, packed_local, len_local, thr_table,
              leaf_users, seeds_hi, seeds_lo, bls):
-        khi, klo, emit = syncmer_kmers(packed_local, len_local, k, s, t)
-        chi, clo, valid, n_unique, n_emit = dedup_kmers(
-            khi, klo, emit, hcap, gap,
-            sort_impl="fused_interpret" if interpret else "auto")
-        hi, lo = wyhash64(chi, clo)
+        hi, lo, valid, n_unique, n_emit = _syncmer_hashes(
+            packed_local, len_local, k, s, t, hcap, interpret)
         gather = lambda x: jax.lax.all_gather(  # noqa: E731
             x, "bins", axis=0, tiled=True)
         hi, lo, valid = gather(hi), gather(lo), gather(valid)

@@ -10,14 +10,18 @@ multiplies.  Bit-exact against the numpy uint64 reference (tested).
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 U32 = jnp.uint32
-_MASK16 = jnp.uint32(0xFFFF)
+# numpy scalars (NOT jnp arrays): they lower to jaxpr literals, so
+# functions here can run inside Pallas kernels without tripping the
+# captured-constant check
+_MASK16 = np.uint32(0xFFFF)
 
-_M1_HI = jnp.uint32(0xFF51AFD7)
-_M1_LO = jnp.uint32(0xED558CCD)
-_M2_HI = jnp.uint32(0xC4CEB9FE)
-_M2_LO = jnp.uint32(0x1A85EC53)
+_M1_HI = np.uint32(0xFF51AFD7)
+_M1_LO = np.uint32(0xED558CCD)
+_M2_HI = np.uint32(0xC4CEB9FE)
+_M2_LO = np.uint32(0x1A85EC53)
 
 
 # TPU VPUs have no native 32-bit integer multiply — XLA emulates it at
@@ -25,16 +29,38 @@ _M2_LO = jnp.uint32(0x1A85EC53)
 # multiplied EXACTLY in float32 (products < 2^22, partial sums < 3*2^22 <
 # 2^24, both inside the f32 mantissa), recombined with cheap integer
 # shifts/adds.  Bit-exact vs the numpy uint64 reference (tested).
-_MASK11 = jnp.uint32(0x7FF)
+_MASK11 = np.uint32(0x7FF)
+
+
+import jax.lax as _lax
+
+
+def _u32_to_f32(x):
+    """Exact u32 -> f32 for values < 2^24 (all limb inputs) routed via
+    int32 — Mosaic has no direct uint32<->float32 casts, XLA treats the
+    bitcast as free.  numpy scalars (compile-time constants) convert
+    directly: tpu.bitcast rejects 0-d operands."""
+    if isinstance(x, (int, np.integer)):
+        return np.float32(x)
+    return _lax.bitcast_convert_type(x, jnp.int32).astype(jnp.float32)
+
+
+def _f32_to_u32(x):
+    """Exact f32 -> u32 for 0 <= x < 2^31 via int32 (see _u32_to_f32)."""
+    if isinstance(x, (float, np.floating)):
+        return np.uint32(x)
+    return _lax.bitcast_convert_type(x.astype(jnp.int32), U32)
 
 
 def _limbs3(x):
-    x = x.astype(U32)
-    f = jnp.float32
+    if isinstance(x, (int, np.integer)):
+        x = np.uint32(x)
+    else:
+        x = x.astype(U32)
     return (
-        (x & _MASK11).astype(f),
-        ((x >> 11) & _MASK11).astype(f),
-        (x >> 22).astype(f),
+        _u32_to_f32(x & _MASK11),
+        _u32_to_f32((x >> 11) & _MASK11),
+        _u32_to_f32(x >> 22),
     )
 
 
@@ -49,11 +75,11 @@ def _limb_products(a, b):
     c3 = a1 * b2 + a2 * b1
     c4 = a2 * b2
     return (
-        c0.astype(U32),
-        c1.astype(U32),
-        c2.astype(U32),
-        c3.astype(U32),
-        c4.astype(U32),
+        _f32_to_u32(c0),
+        _f32_to_u32(c1),
+        _f32_to_u32(c2),
+        _f32_to_u32(c3),
+        _f32_to_u32(c4),
     )
 
 
@@ -162,8 +188,8 @@ def umul64_full(ahi, alo, bhi, blo):
     return (r3, u3), (s2, a_lo)
 
 
-_WY_HI = jnp.uint32(0x9E3779B9)
-_WY_LO = jnp.uint32(0x7F4A7C15)
+_WY_HI = np.uint32(0x9E3779B9)
+_WY_LO = np.uint32(0x7F4A7C15)
 
 
 def wyhash64(khi, klo):
