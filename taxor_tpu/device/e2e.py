@@ -110,17 +110,25 @@ def make_hixf_e2e_grouped_fn(groups, leaf_users, k: int, s: int, t: int,
         thr = thr_table[jnp.clip(n_unique, 0, thr_table.shape[0] - 1)]
         active = {0: jnp.ones((R,), dtype=bool)}
         leaf_vals = []
+        poscache: dict = {}  # (seed, bl) -> raw (pos, f4i): subgroups of
+        # one level share the position set (trace-time reuse)
         for g in groups:
             acts = [active[m[0]] for m in g["members"]]
             act_any = acts[0]
             for a in acts[1:]:
                 act_any = act_any | a
-            pos, f4 = probe_positions_and_fprint4(
-                hi, lo, g["seed_hi"], g["seed_lo"], g["bl"])
+            cached = poscache.get(g.get("poskey"))
+            if cached is None:
+                pos_raw, f4 = probe_positions_and_fprint4(
+                    hi, lo, g["seed_hi"], g["seed_lo"], g["bl"])
+                f4 = jnp.where(valid, f4, jnp.uint32(0x01010101))
+                f4i = jax.lax.bitcast_convert_type(f4, jnp.int32)
+                cached = (pos_raw, f4i)
+                if g.get("poskey") is not None:
+                    poscache[g["poskey"]] = cached
+            pos_raw, f4i = cached
             S1 = g["fp"].shape[0]
-            pos = jnp.where(valid[..., None], pos, jnp.int32(S1 - 1))
-            f4 = jnp.where(valid, f4, jnp.uint32(0x01010101))
-            f4i = jax.lax.bitcast_convert_type(f4, jnp.int32)
+            pos = jnp.where(valid[..., None], pos_raw, jnp.int32(S1 - 1))
             counts = _probe_call_chunked(
                 g["fp"], pos, f4i, valid & act_any[:, None], g["bt4"],
                 interpret)

@@ -471,7 +471,8 @@ class DeviceHIXF:
             from .pallas_probe import (choose_bin_tile4,
                                        prepare_fingerprints)
 
-            host_groups, leaf_users = self._build_probe_groups()
+            host_groups, leaf_users = self._build_probe_groups(
+                max_group_b4=128)
             groups = []
             for g in host_groups:
                 groups.append(dict(
@@ -480,6 +481,7 @@ class DeviceHIXF:
                     seed_hi=jnp.uint32(g["seed"] >> 32),
                     seed_lo=jnp.uint32(g["seed"] & 0xFFFFFFFF),
                     bl=jnp.uint32(g["bl"]),
+                    poskey=g["poskey"],
                     bt4=choose_bin_tile4(*g["fp"].shape),
                     members=[(m[0], m[1], m[2], m[3], jnp.asarray(m[4]))
                              for m in g["members"]],
@@ -496,7 +498,8 @@ class DeviceHIXF:
             )
         return cache[key]
 
-    def _build_probe_groups(self, col_multiple: int | None = None):
+    def _build_probe_groups(self, col_multiple: int | None = None,
+                            max_group_b4: int | None = None):
         """Assemble the level-grouped probe structure on the host.
 
         Groups IXFs by (depth, seed, block_length); members pack tightly
@@ -506,9 +509,19 @@ class DeviceHIXF:
         1024-word multiple once rows get close to it (unlocking the
         rotate-free wide kernel) or the 128-lane minimum.
 
+        max_group_b4: split multi-member groups at member boundaries so
+        each subgroup spans <= this many packed words.  Each subgroup is
+        probed with ITS members' activity OR — since a descending read is
+        typically active in one subtree, it pays probe-row bytes for one
+        narrow subgroup instead of the whole level (the CPU's pruning,
+        recovered column-wise; per-read zero trip counts make inactive
+        subgroups near-free).  Probe positions depend only on
+        (seed, block_length), so subgroups share one position set —
+        callers dedup via the `poskey` field.
+
         Returns (groups, leaf_users): groups are dicts of numpy
         fp [S1, B4g] (zero sentinel row appended), onehot [4*B4g, runs],
-        seed, bl, members [(bfs_pos, run_off, n_runs,
+        seed, bl, poskey, members [(bfs_pos, run_off, n_runs,
         children [(local_run, child_bfs_pos)], leaf_sel int32)].
         """
         from .pallas_probe import prepare_fingerprints
@@ -525,6 +538,29 @@ class DeviceHIXF:
                 group_key_order.append(gk)
             group_members[gk].append(i)
         group_key_order.sort(key=lambda gk: gk[0])
+
+        if max_group_b4 is not None:
+            # split member lists greedily by cumulative packed width
+            split_order: list[tuple] = []
+            split_members: dict[tuple, list[int]] = {}
+            for gk in group_key_order:
+                part: list[int] = []
+                width = 0
+                sub = 0
+                for i in group_members[gk]:
+                    b4_i = -(-self.hixf.ixfs[i].bin_count // 4)
+                    if part and width + b4_i > max_group_b4:
+                        k2 = gk + (sub,)
+                        split_order.append(k2)
+                        split_members[k2] = part
+                        part, width, sub = [], 0, sub + 1
+                    part.append(i)
+                    width += b4_i
+                k2 = gk + (sub,)
+                split_order.append(k2)
+                split_members[k2] = part
+            group_key_order = split_order
+            group_members = split_members
 
         groups = []
         leaf_users_parts = []
@@ -584,7 +620,7 @@ class DeviceHIXF:
                 roff += n_runs
             groups.append(dict(
                 fp=fp_group, onehot=onehot, seed=gk[1], bl=gk[2],
-                members=members_meta,
+                poskey=(gk[1], gk[2]), members=members_meta,
             ))
         leaf_users = np.concatenate(leaf_users_parts)
         return groups, leaf_users
