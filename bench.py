@@ -231,12 +231,18 @@ def bench_config(name, *, n_species, genome_len, n_reads, read_len,
     import threading
 
     dev: dict = {}
+    # the index pre-seeds the top-k ladder from build-time homology
+    # (apps/build._suggest_topk); the first dispatch starts there, like
+    # the pipeline does
+    sugg = int(getattr(index, "suggested_topk", 16))
+    topk_eff = max(topk, sugg)
+    result["suggested_topk"] = sugg
 
     def device_phase():
         rps, t, fb, cls, dhixf = _device_reads_per_s(
-            index, seqs, thresholder, topk=topk)
+            index, seqs, thresholder, topk=topk_eff)
         dev.update(rps=rps, t=t, fb=fb, cls=cls)
-        if mutate > 0.0:
+        if mutate > 0.0 and topk_eff < 256:
             # the pipeline's escalation ladder tops out at 256 candidate
             # slots; with 64 co-equal genomes that is where truncation
             # fallback disappears

@@ -169,7 +169,38 @@ def run_build(config: BuildConfig) -> TaxorIndex:
             len(rec.seq) for f in joined.split(";") for rec in iter_fastx(f)
         )
 
-    index = TaxorIndex(scheme=scheme, species=orgs, hixf=hixf)
+    index = TaxorIndex(scheme=scheme, species=orgs, hixf=hixf,
+                       suggested_topk=_suggest_topk(clusters, hash_fn))
     if config.output_filename:
         save_index(config.output_filename, index)
     return index
+
+
+def _suggest_topk(clusters, hash_fn, m: int = 16) -> int:
+    """Pre-seed the search top-k ladder from build-time homology.
+
+    Near-identical references (e.g. strains of one species) produce
+    co-equal per-bin counts at search time; a 16-wide top-k then
+    truncates and the pipeline escalates 16->64->256 with a recompile
+    per rung on the first batches.  The index can predict this: the
+    bottom-m (smallest) hash values of each user bin form a MinHash
+    signature, and a bottom hash shared by g bins means ~g bins contain
+    that k-mer — for near-duplicate groups most bottom hashes are
+    shared by the whole group, so the max share count estimates the
+    largest homology group.  Distinct genomes share essentially no
+    bottom hashes (a lone collision leaves g = 2, far under the first
+    rung).  Cost: O(bins * m) on the already-computed sorted hash sets.
+    """
+    from collections import Counter
+
+    share: Counter = Counter()
+    for files in clusters.values():
+        h = hash_fn(files)
+        for v in h[:m]:
+            share[int(v)] += 1
+    g = max(share.values(), default=1)
+    if g <= 4:
+        return 16
+    if g <= 16:
+        return 64
+    return 256

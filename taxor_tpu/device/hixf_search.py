@@ -306,15 +306,20 @@ class DeviceHIXF:
             raw_reads = np.pad(raw_reads, ((0, rpad), (0, 0)))
             lengths = np.pad(lengths, (0, rpad))
         L = raw_reads.shape[1] * 4
-        hcap = hash_cap(L)
+        hcap = hash_cap(L) if scheme.use_syncmer else L
         fkey = (scheme.kmer_size, scheme.syncmer_size, scheme.t_syncmer,
+                scheme.use_syncmer, scheme.window_size, scheme.scaling,
                 hcap, k)
         fn = state["fns"].get(fkey)
         if fn is None:
             fn = state["fns"][fkey] = sharded_e2e_fn(
                 mesh, k=scheme.kmer_size, s=scheme.syncmer_size,
                 t=scheme.t_syncmer, hcap=hcap, topk=k,
-                interpret=getattr(self, "_interpret", False))
+                interpret=getattr(self, "_interpret", False),
+                scheme_kind=("syncmer" if scheme.use_syncmer
+                             else "minimizer"),
+                window=scheme.window_size,
+                scale_thresh=_scale_thresh(scheme))
         packed_dev = fn(
             state["fp"], jnp.asarray(raw_reads),
             jnp.asarray(lengths.astype(np.int32)), state["onehot"],
@@ -405,20 +410,25 @@ class DeviceHIXF:
             raw_reads = np.pad(raw_reads, ((0, rpad), (0, 0)))
             lengths = np.pad(lengths, (0, rpad))
         L = raw_reads.shape[1] * 4
-        hcap = hash_cap(L)
+        hcap = hash_cap(L) if scheme.use_syncmer else L
         tkey = (id(thresholder), hcap)
         thr_tbl = state["thr_tables"].get(tkey)
         if thr_tbl is None:
             thr_tbl = state["thr_tables"][tkey] = jnp.asarray(
                 self._thr_table(thresholder, hcap))
         fkey = (scheme.kmer_size, scheme.syncmer_size, scheme.t_syncmer,
+                scheme.use_syncmer, scheme.window_size, scheme.scaling,
                 hcap, k)
         fn = state["fns"].get(fkey)
         if fn is None:
             fn = state["fns"][fkey] = sharded_hixf_e2e_fn(
                 mesh, state["groups_meta"], k=scheme.kmer_size,
                 s=scheme.syncmer_size, t=scheme.t_syncmer, hcap=hcap,
-                topk=k, interpret=getattr(self, "_interpret", False))
+                topk=k, interpret=getattr(self, "_interpret", False),
+                scheme_kind=("syncmer" if scheme.use_syncmer
+                             else "minimizer"),
+                window=scheme.window_size,
+                scale_thresh=_scale_thresh(scheme))
         packed_dev = fn(
             state["fps"], state["onehots"], jnp.asarray(raw_reads),
             jnp.asarray(lengths.astype(np.int32)), thr_tbl,

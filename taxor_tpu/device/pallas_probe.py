@@ -141,6 +141,194 @@ def _kernel(pos_ref, fpr_ref, cnt_ref, fp_ref, out_ref):
 
 
 # ---------------------------------------------------------------------- #
+# packed-position kernels: 2 SMEM words per hash instead of 4
+# ---------------------------------------------------------------------- #
+# The probe is bound by the SCALAR core: per hash it issues ~4 SMEM
+# reads (3 positions + fingerprint), address arithmetic and 3 vector-
+# load issues (~15.6 cycles/hash measured).  When every slot index fits
+# 16 bits (S+1 <= 65536 — true for all narrow and most production
+# geometries), the 4 scalars pack into TWO SMEM words
+# [p0|p1<<16, p2|fbyte<<16]; the unpack is 5 scalar ALU ops, cheaper
+# than the 2 saved SMEM reads.  Measured: 23.4 -> 18.0 ms on the bench
+# shape (12.7 ns/hash, 1.30x).  Wide tables gain the same way.
+
+USE_P16 = True
+_P16_MAX_S1 = 65536
+
+
+def _pack_pos16(pos, f4i):
+    """[R, H, 3] int32 positions + replicated-byte fingerprints ->
+    [R, H, 2] packed words (p0|p1<<16, p2|fbyte<<16)."""
+    p = pos.astype(jnp.int32)
+    w0 = p[..., 0] | (p[..., 1] << 16)
+    w1 = p[..., 2] | ((f4i & 0xFF) << 16)
+    return jnp.stack([w0, w1], axis=-1)
+
+
+def _fetch_p16(pos_ref, r, h):
+    w0 = pos_ref[r, 0, 2 * h]
+    w1 = pos_ref[r, 0, 2 * h + 1]
+    p0 = w0 & 0xFFFF
+    p1 = jax.lax.shift_right_logical(w0, 16)
+    p2 = w1 & 0xFFFF
+    f4 = jax.lax.shift_right_logical(w1, 16) * 0x01010101
+    return p0, p1, p2, f4
+
+
+def _kernel_p16(pos_ref, cnt_ref, fp_ref, out_ref):
+    """_kernel with 2-word packed positions (see module comment)."""
+    RT = pos_ref.shape[0]
+    BT4 = out_ref.shape[2]
+    U = _HASH_UNROLL
+
+    def read_body(r, _):
+        nb = cnt_ref[r, 0, 0]
+
+        def hash_body(hu, packed):
+            rows = []
+            for u in range(U):
+                p0, p1, p2, f4 = _fetch_p16(pos_ref, r, hu * U + u)
+                rows.append(
+                    (fp_ref[p0, :] ^ fp_ref[p1, :] ^ fp_ref[p2, :] ^ f4)[
+                        None, :
+                    ]
+                )
+            x = jnp.concatenate(rows, axis=0)
+            nz = ((x & _LOW7) + _LOW7) | x
+            hits = jax.lax.shift_right_logical((~nz) & _SIGN, 7)
+            return packed + hits
+
+        def chunk_body(ci, accs):
+            a0, a1, a2, a3 = accs
+            lo = ci * _FLUSH_BODIES
+            hi = jnp.minimum(nb, lo + _FLUSH_BODIES)
+            packed = jax.lax.fori_loop(
+                lo, hi, hash_body, jnp.zeros((U, BT4), jnp.int32)
+            )
+            a0 = a0 + jnp.sum(packed & _B0, axis=0)
+            a1 = a1 + jnp.sum(
+                jax.lax.shift_right_logical(packed, 8) & _B0, axis=0)
+            a2 = a2 + jnp.sum(
+                jax.lax.shift_right_logical(packed, 16) & _B0, axis=0)
+            a3 = a3 + jnp.sum(
+                jax.lax.shift_right_logical(packed, 24), axis=0)
+            return (a0, a1, a2, a3)
+
+        zero = jnp.zeros((BT4,), jnp.int32)
+        nc = (nb + _FLUSH_BODIES - 1) // _FLUSH_BODIES
+        a0, a1, a2, a3 = jax.lax.fori_loop(
+            0, nc, chunk_body, (zero, zero, zero, zero)
+        )
+        out_ref[r, 0, :] = a0
+        out_ref[r, 1, :] = a1
+        out_ref[r, 2, :] = a2
+        out_ref[r, 3, :] = a3
+        return 0
+
+    jax.lax.fori_loop(0, RT, read_body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("bin_tile4", "interpret"))
+def _probe_call_p16(fp_packed, posp, bodies, bin_tile4, interpret):
+    """_probe_call with packed positions: posp int32 [R, 1, H*2]."""
+    R, _, H2 = posp.shape
+    S1, B4 = fp_packed.shape
+    RT = _READ_TILE
+    grid = (B4 // bin_tile4, R // RT)
+    out = pl.pallas_call(
+        _kernel_p16,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((RT, 1, H2), lambda j, r: (r, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((RT, 1, 1), lambda j, r: (r, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((S1, bin_tile4), lambda j, r: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((RT, 4, bin_tile4), lambda j, r: (r, 0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((R, 4, B4), jnp.int32),
+        interpret=interpret,
+    )(posp, bodies, fp_packed)
+    return jnp.moveaxis(out, 1, 2).reshape(R, 4 * B4)
+
+
+def _kernel_wide_p16(pos_ref, cnt_ref, fp_ref, out_ref):
+    """_kernel_wide with 2-word packed positions."""
+    BTW = fp_ref.shape[2]
+    U = _WIDE_UNROLL
+
+    def read_body(r, _):
+        nb = cnt_ref[r, 0, 0]
+
+        def hash_body(hu, packed):
+            acc = packed
+            for u in range(U):
+                p0, p1, p2, f4 = _fetch_p16(pos_ref, r, hu * U + u)
+                x = fp_ref[p0] ^ fp_ref[p1] ^ fp_ref[p2] ^ f4  # [8, BTW]
+                nz = ((x & _LOW7) + _LOW7) | x
+                hits = jax.lax.shift_right_logical((~nz) & _SIGN, 7)
+                acc = acc + hits
+            return acc
+
+        def chunk_body(ci, accs):
+            a0, a1, a2, a3 = accs
+            lo = ci * _FLUSH_BODIES
+            hi = jnp.minimum(nb, lo + _FLUSH_BODIES)
+            packed = jax.lax.fori_loop(
+                lo, hi, hash_body, jnp.zeros((8, BTW), jnp.int32)
+            )
+            a0 = a0 + (packed & _B0)
+            a1 = a1 + (jax.lax.shift_right_logical(packed, 8) & _B0)
+            a2 = a2 + (jax.lax.shift_right_logical(packed, 16) & _B0)
+            a3 = a3 + jax.lax.shift_right_logical(packed, 24)
+            return (a0, a1, a2, a3)
+
+        zero = jnp.zeros((8, BTW), jnp.int32)
+        nc = (nb + _FLUSH_BODIES - 1) // _FLUSH_BODIES
+        a0, a1, a2, a3 = jax.lax.fori_loop(
+            0, nc, chunk_body, (zero, zero, zero, zero)
+        )
+        out_ref[r, 0] = a0
+        out_ref[r, 1] = a1
+        out_ref[r, 2] = a2
+        out_ref[r, 3] = a3
+        return 0
+
+    jax.lax.fori_loop(0, pos_ref.shape[0], read_body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("bin_tile4", "interpret"))
+def _probe_call_wide_p16(fp_packed, posp, bodies, bin_tile4, interpret):
+    """_probe_call_wide with packed positions (posp [R, 1, H*2])."""
+    R, _, H2 = posp.shape
+    S1, B4 = fp_packed.shape
+    RT = _READ_TILE
+    BTW = bin_tile4 // 8
+    fp3 = fp_packed.reshape(S1, 8, B4 // 8)
+    grid = (B4 // bin_tile4, R // RT)
+    out = pl.pallas_call(
+        _kernel_wide_p16,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((RT, 1, H2), lambda j, r: (r, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((RT, 1, 1), lambda j, r: (r, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((S1, 8, BTW), lambda j, r: (0, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((RT, 4, 8, BTW),
+                               lambda j, r: (r, 0, 0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((R, 4, 8, B4 // 8), jnp.int32),
+        interpret=interpret,
+    )(posp, bodies, fp3)
+    return jnp.moveaxis(out, 1, 3).reshape(R, 4 * B4)
+
+
+# ---------------------------------------------------------------------- #
 # replicated-row kernel: bins <= 512 (B4 <= 128, one vreg per row)
 # ---------------------------------------------------------------------- #
 # The sublane kernel above pays a dynamic sublane load + rotate for every
@@ -461,8 +649,21 @@ def _probe_call_chunked(fp_packed, pos, f4i, valid, bin_tile4, interpret):
                 for g in range(B4 // gs)
             ]
             return jnp.concatenate(parts, axis=1)
-    call = _probe_call_wide if wide else _probe_call
     unroll = _WIDE_UNROLL if wide else _HASH_UNROLL
+    if USE_P16 and S1 <= _P16_MAX_S1:
+        posp = _pack_pos16(pos, f4i)
+        callp = _probe_call_wide_p16 if wide else _probe_call_p16
+        if H <= _H_CHUNK:
+            return callp(fp_packed, posp.reshape(R, 1, H * 2),
+                         _body_counts(valid, unroll), bin_tile4,
+                         interpret)
+        assert H % _H_CHUNK == 0
+        nc = H // _H_CHUNK
+        posp2 = posp.reshape(R * nc, 1, _H_CHUNK * 2)
+        bodies = _body_counts(valid.reshape(R * nc, _H_CHUNK), unroll)
+        counts = callp(fp_packed, posp2, bodies, bin_tile4, interpret)
+        return counts.reshape(R, nc, -1).sum(axis=1)
+    call = _probe_call_wide if wide else _probe_call
     if H <= _H_CHUNK:
         return call(fp_packed, pos.reshape(R, 1, H * 3),
                     f4i[:, None, :], _body_counts(valid, unroll),

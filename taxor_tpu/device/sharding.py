@@ -83,8 +83,36 @@ def sharded_count_fn(mesh: Mesh):
     return jax.jit(step)
 
 
+def _extract_hashes(packed_local, len_local, k, s, t, hcap, interpret,
+                    scheme_kind, window, scale_thresh):
+    """Per-chip extraction for the sharded fused steps: syncmer (fused
+    Pallas kernel) or minimizer/plain-k-mer (leftmost-argmin, vector
+    semantics), with the exact-integer FracMinHash filter — mirrors the
+    single-device dispatch in e2e.fused_e2e_step so mesh runs cover the
+    reference's default plain-k-mer scheme (taxor_search.cpp:242-259)
+    and scaling > 1."""
+    import jax.numpy as jnp
+
+    from ..hash.device_syncmer import minimizer_kmers
+    from .e2e import _scaling_keep, _syncmer_hashes
+
+    if scheme_kind == "syncmer":
+        hi, lo, valid, n_unique, n_emit = _syncmer_hashes(
+            packed_local, len_local, k, s, t, hcap, interpret)
+    else:
+        hi, lo, valid, n_emit = minimizer_kmers(
+            packed_local, len_local, k, window)
+        n_unique = n_emit
+    if scale_thresh:
+        valid = valid & _scaling_keep(hi, lo, scale_thresh)
+        n_unique = valid.sum(axis=1, dtype=jnp.int32)
+    return hi, lo, valid, n_unique, n_emit
+
+
 def sharded_e2e_fn(mesh: Mesh, k: int, s: int, t: int, hcap: int,
-                   topk: int, interpret: bool = False):
+                   topk: int, interpret: bool = False,
+                   scheme_kind: str = "syncmer", window: int = 0,
+                   scale_thresh: int = 0):
     """The FULL fused search step (device/e2e.py) over the 2-D mesh —
     the production multi-chip configuration for flat indexes too large
     for one chip's HBM (e.g. GTDB-scale, BASELINE.md):
@@ -108,7 +136,6 @@ def sharded_e2e_fn(mesh: Mesh, k: int, s: int, t: int, hcap: int,
     import functools
 
     from ..utils.u64jnp import probe_positions_and_fprint4
-    from .e2e import _syncmer_hashes
     from .pallas_probe import _probe_call_chunked, choose_bin_tile4
 
     @functools.partial(
@@ -127,8 +154,9 @@ def sharded_e2e_fn(mesh: Mesh, k: int, s: int, t: int, hcap: int,
     )
     def step(fp_local, packed_local, len_local, onehot_local, run_users,
              seed_hi, seed_lo, block_length):
-        hi, lo, valid, n_unique, n_emit = _syncmer_hashes(
-            packed_local, len_local, k, s, t, hcap, interpret)
+        hi, lo, valid, n_unique, n_emit = _extract_hashes(
+            packed_local, len_local, k, s, t, hcap, interpret,
+            scheme_kind, window, scale_thresh)
         # re-collect the reads row of this bins group (tiled: concat)
         gather = lambda x: jax.lax.all_gather(  # noqa: E731
             x, "bins", axis=0, tiled=True)
@@ -166,7 +194,9 @@ def sharded_e2e_fn(mesh: Mesh, k: int, s: int, t: int, hcap: int,
 
 def sharded_hixf_e2e_fn(mesh: Mesh, groups_meta, k: int, s: int,
                         t: int, hcap: int, topk: int,
-                        interpret: bool = False):
+                        interpret: bool = False,
+                        scheme_kind: str = "syncmer", window: int = 0,
+                        scale_thresh: int = 0):
     """HIERARCHICAL fused search over the (reads x bins) mesh with
     LEVEL-GROUPED probing — the multi-chip configuration for multi-level
     indexes too large for one chip's HBM (GTDB-scale, SURVEY.md §7
@@ -190,7 +220,6 @@ def sharded_hixf_e2e_fn(mesh: Mesh, groups_meta, k: int, s: int,
     bins-sharded arrays; seeds/bls are [n_groups] replicated vectors.
     """
     from ..utils.u64jnp import probe_positions_and_fprint4
-    from .e2e import _syncmer_hashes
     from .pallas_probe import _probe_call_chunked, choose_bin_tile4
 
     n_groups = len(groups_meta)
@@ -215,8 +244,9 @@ def sharded_hixf_e2e_fn(mesh: Mesh, groups_meta, k: int, s: int,
     )
     def step(fps, onehots, packed_local, len_local, thr_table,
              leaf_users, seeds_hi, seeds_lo, bls):
-        hi, lo, valid, n_unique, n_emit = _syncmer_hashes(
-            packed_local, len_local, k, s, t, hcap, interpret)
+        hi, lo, valid, n_unique, n_emit = _extract_hashes(
+            packed_local, len_local, k, s, t, hcap, interpret,
+            scheme_kind, window, scale_thresh)
         gather = lambda x: jax.lax.all_gather(  # noqa: E731
             x, "bins", axis=0, tiled=True)
         hi, lo, valid = gather(hi), gather(lo), gather(valid)

@@ -33,6 +33,13 @@ class TaxorIndex:
     hixf: HIXF
     parts: int = 1
     compressed: bool = False
+    # search-time hint: starting top-k candidate width for the device
+    # emission compaction, pre-seeded at build time from reference
+    # homology (near-identical user bins produce co-equal counts that
+    # overflow a 16-wide top-k and force per-batch escalation
+    # recompiles; the index knows its own homology from the bottom-m
+    # hash sketches — apps/build._suggest_topk)
+    suggested_topk: int = 16
 
     def user_bin_to_species(self) -> dict[int, int]:
         """user bin id -> index into species list
@@ -50,6 +57,7 @@ def save_index(path: str, index: TaxorIndex) -> None:
         "user_bin_filenames": index.hixf.user_bin_filenames,
         "ixf_seeds": [ixf.seed for ixf in index.hixf.ixfs],
         "ixf_block_lengths": [ixf.block_length for ixf in index.hixf.ixfs],
+        "suggested_topk": index.suggested_topk,
     }
     arrays: dict[str, np.ndarray] = {
         "meta": np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8)
@@ -96,4 +104,5 @@ def load_index(path: str) -> TaxorIndex:
         hixf=hixf,
         parts=int(meta["parts"]),
         compressed=bool(meta["compressed"]),
+        suggested_topk=int(meta.get("suggested_topk", 16)),
     )

@@ -106,20 +106,17 @@ def search_single(
 
     from ..hash import device_syncmer as dsync
 
+    # every device-extractable scheme (syncmer, minimizer/plain-k-mer,
+    # FracMinHash scaling) runs fused both single-device and under a
+    # mesh — the sharded steps thread scheme_kind/window/scale_thresh
+    # exactly like the single-device dispatch (device/sharding.py
+    # _extract_hashes)
     use_e2e = (
         config.engine in ("device", "sharded")
         and device_hixf is not None
         and hasattr(device_hixf, "e2e_capable")
         and device_hixf.e2e_capable(thresholder)
-        and (
-            (dsync.supports(scheme)
-             and (scheme.scaling == 1
-                  or getattr(device_hixf, "mesh", None) is None))
-            # minimizer/plain-k-mer device extraction: single-device
-            # fused paths only (the sharded fns extract syncmers,
-            # unscaled)
-            or (dsync.supports_minimizer(scheme)
-                and getattr(device_hixf, "mesh", None) is None))
+        and (dsync.supports(scheme) or dsync.supports_minimizer(scheme))
     )
 
     def _hash_thresholds(hash_counts, seqs):
@@ -205,7 +202,12 @@ def search_single(
     # the batch actually ran at (prevents double-stepping the ladder).
     import threading
 
-    topk_state = {"k": max(1, int(config.topk)),
+    # the index pre-seeds the ladder from build-time homology
+    # (hixf/index.py suggested_topk): near-identical reference sets
+    # start at the rung they would escalate to anyway, so the first
+    # batches skip the truncation-fallback + recompile warmup
+    topk_state = {"k": max(1, int(config.topk),
+                           int(getattr(index, "suggested_topk", 16))),
                   "lock": threading.Lock()}
 
     def _escalate_topk(ran_at_k: int):

