@@ -197,6 +197,56 @@ def _device_reads_per_s(index, seqs, thresholder, topk=16):
     return R / t, t, fb_frac, classified, dhixf
 
 
+def parity_gate():
+    """Real-backend output-parity gate: for each scheme family, run one
+    small search twice — device engine (fused Pallas path, non-interpret
+    on TPU) vs host engine (numpy oracle) — and diff the TSV
+    byte-for-byte.  Returns {scheme_name: bool}; any False fails bench
+    with exit code 1 (after the JSON line is printed)."""
+    import io
+
+    from taxor_tpu.apps.build import BuildConfig, run_build
+    from taxor_tpu.device.hixf_search import DeviceHIXF
+    from taxor_tpu.search.pipeline import SearchConfig, search_single
+
+    tmp, tsv, gdir, reads_file = build_problem(
+        n_species=32, genome_len=8000, n_reads=256, read_len=1000, seed=7)
+    results = {}
+    for name, kw in (
+        ("syncmer", dict(kmer_size=22, syncmer_size=12, use_syncmer=True)),
+        ("plain_kmer", dict(kmer_size=20, syncmer_size=10,
+                            use_syncmer=False)),
+        ("scaled_kmer", dict(kmer_size=20, syncmer_size=10,
+                             use_syncmer=False, scaling=4)),
+    ):
+        if budget_left() < 90:
+            results[name] = None  # skipped: budget
+            log(f"bench[parity]: skipping {name} (budget exhausted)")
+            continue
+        index = run_build(BuildConfig(
+            input_file=tsv, input_sequence_dir=gdir, output_filename="",
+            layout_mode="flat", layout_file="", threads=8, **kw))
+        texts = {}
+        for engine in ("device", "host"):
+            buf = io.StringIO()
+            dhixf = DeviceHIXF(index.hixf) if engine == "device" else None
+            search_single(index, reads_file, buf,
+                          SearchConfig(engine=engine, batch_size=256),
+                          dhixf)
+            texts[engine] = buf.getvalue()
+        ok = texts["device"] == texts["host"]
+        results[name] = ok
+        log(f"bench[parity]: {name} device==host byte parity: {ok}")
+        if not ok:
+            d, h = texts["device"].splitlines(), texts["host"].splitlines()
+            for i, (a, b) in enumerate(zip(d, h)):
+                if a != b:
+                    log(f"bench[parity]: first diff line {i}:\n  "
+                        f"dev : {a}\n  host: {b}")
+                    break
+    return results
+
+
 def bench_config(name, *, n_species, genome_len, n_reads, read_len,
                  layout_mode="flat", tmax=0, mutate=0.0, topk=16,
                  baseline_sub=None, seed=0):
@@ -312,6 +362,16 @@ def main():
             log(f"bench[{spec['name']}]: failed: {e!r}")
             configs.append(dict(name=spec["name"], error=repr(e)))
 
+    # real-backend device-vs-host TSV byte-parity per scheme family
+    # (VERDICT r2 #5); a recorded False fails bench after printing
+    try:
+        parity = parity_gate()
+    except Exception as e:
+        log(f"bench[parity]: failed: {e!r}")
+        parity = {"error": repr(e)}
+    parity_ok = all(v is not False for v in parity.values()) \
+        and "error" not in parity
+
     value = primary.get("device_compute_reads_per_s")
     if value is None:
         result = {
@@ -321,6 +381,8 @@ def main():
             "unit": "reads/s",
             "vs_baseline": 1.0,
             "detail": {
+                "parity": parity,
+                "parity_ok": parity_ok,
                 "device_timeout": True,
                 "note": "TPU compile service exceeded the bench budget; "
                         "reporting the 32-thread native C++ baseline",
@@ -336,6 +398,8 @@ def main():
             "unit": "reads/s",
             "vs_baseline": primary["vs_baseline"],
             "detail": {
+                "parity": parity,
+                "parity_ok": parity_ok,
                 "projected_v5e8_reads_per_s": round(8 * value, 1),
                 "projected_v5e8_vs_baseline": round(
                     8 * primary["vs_baseline"], 3),
@@ -363,6 +427,8 @@ def main():
             },
         }
     print(json.dumps(result))
+    if not parity_ok:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -133,13 +133,19 @@ def run_build(config: BuildConfig) -> TaxorIndex:
     )
 
     # hash every genome once; layout sketches and the HIXF build share it
+    import time as _time
+
     from ..hixf.build import precompute_file_hashes
 
+    timings: dict[str, float] = {}
+    t0 = _time.perf_counter()
     all_files = [f for files in clusters.values() for f in files]
     file_hashes = precompute_file_hashes(
         all_files, scheme, spill_dir=config.spill_dir or None
     )
+    timings["count_s"] = _time.perf_counter() - t0
 
+    t0 = _time.perf_counter()
     if config.resume and config.layout_file and \
             os.path.exists(config.layout_file):
         from ..hixf.layout import parse_layout
@@ -149,6 +155,7 @@ def run_build(config: BuildConfig) -> TaxorIndex:
         layout = make_layout(config, clusters, scheme, file_hashes)
         if config.layout_file:
             write_layout(layout, config.layout_file)
+    timings["layout_s"] = _time.perf_counter() - t0
 
     def hash_fn(filenames: list[str]):
         parts = [file_hashes.get(f) for f in filenames]
@@ -158,7 +165,8 @@ def run_build(config: BuildConfig) -> TaxorIndex:
 
     hixf, _ = build_hixf_from_layout(layout, scheme, hash_fn=hash_fn,
                                      spill_dir=config.spill_dir or None,
-                                     threads=config.threads)
+                                     threads=config.threads,
+                                     timings=timings)
 
     # per-species bookkeeping (taxor_build.cpp:516-527)
     for ub, joined in enumerate(hixf.user_bin_filenames):
@@ -171,8 +179,11 @@ def run_build(config: BuildConfig) -> TaxorIndex:
 
     index = TaxorIndex(scheme=scheme, species=orgs, hixf=hixf,
                        suggested_topk=_suggest_topk(clusters, hash_fn))
+    t0 = _time.perf_counter()
     if config.output_filename:
         save_index(config.output_filename, index)
+    timings["serialize_s"] = _time.perf_counter() - t0
+    index.build_timings = timings
     return index
 
 

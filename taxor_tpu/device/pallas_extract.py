@@ -288,10 +288,23 @@ def syncmer_hashes_fused(packed_reads, lengths, k: int, s: int, t: int,
     Wd = L // 16
     gap = emission_min_gap(k, s, t)
     E = (16 - 1) // max(1, gap) + 1
-    W_sort = max(128, _next_pow2(E * Wd))
-    hcap_k = min(hcap, W_sort)
 
     words = _stream_words(packed_reads)  # [R, Wd] u32
+    # The per-phase [RT, Wd] arrays MUST span >= 128 lanes (one full
+    # vreg row): at Wd == 64 the compiled kernel (Mosaic on TPU and the
+    # pallas CPU pipeline alike, identical wrong bits on both) corrupts
+    # a sparse subset of lanes in the roll+funnel-shift chains that
+    # interpret mode computes correctly — found by the bench parity
+    # gate at the L=1024 read bucket, minimized in tools/debug_min.py.
+    # Zero-padding the word stream to 128 lanes sidesteps the sub-vreg
+    # layouts entirely; padded positions sit beyond every read's length
+    # and are gated by pos_valid, and the circular rolls only ever wrap
+    # padding into positions that are themselves gated.
+    if Wd < 128:
+        words = jnp.pad(words, ((0, 0), (0, 128 - Wd)))
+        Wd = 128
+    W_sort = max(128, _next_pow2(E * Wd))
+    hcap_k = min(hcap, W_sort)
     RT = _read_tile(Wd, R)
     rpad = (-R) % RT
     if rpad:

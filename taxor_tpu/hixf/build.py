@@ -21,7 +21,9 @@ Deviations (documented):
 
 from __future__ import annotations
 
+import itertools
 import os
+
 import numpy as np
 
 from ..hash.schemes import HashScheme, build_hashes
@@ -43,15 +45,25 @@ def hashes_for_files(filenames: list[str], scheme: HashScheme) -> np.ndarray:
     return build_hashes(record_seqs, scheme)
 
 
+_STORE_SEQ = itertools.count()
+
+
 class HashStore:
     """file/key -> uint64 hash array, optionally spilled to .npy files on
     disk (the reference's hixf_tmp/ analog) so GTDB-scale builds bound
-    their peak RSS."""
+    their peak RSS.
+
+    Multiple stores may share one spill directory (run_build uses one
+    for per-file hash sets and the build uses another for per-node
+    unions), so filenames carry a per-store prefix — without it the
+    second store's counter collides with the first's and a pop() on one
+    deletes the other's live file."""
 
     def __init__(self, spill_dir: str | None = None):
         self.spill_dir = spill_dir
         self._data: dict[str, np.ndarray | str] = {}
         self._counter = 0
+        self._prefix = f"hashes_s{next(_STORE_SEQ)}"
         if spill_dir:
             os.makedirs(spill_dir, exist_ok=True)
 
@@ -59,7 +71,7 @@ class HashStore:
         if self.spill_dir:
             self._counter += 1
             path = os.path.join(self.spill_dir,
-                                f"hashes_{self._counter:06d}.npy")
+                                f"{self._prefix}_{self._counter:06d}.npy")
             np.save(path, hashes)
             self._data[key] = path
         else:
@@ -159,6 +171,7 @@ def build_hixf_from_layout(
     spill_dir: str | None = None,
     threads: int = 1,
     uniform_level_geometry: bool = True,
+    timings: dict | None = None,
 ) -> tuple[HIXF, dict[str, int]]:
     """Build the full HIXF.  ``hash_fn(filenames) -> uint64 array`` may be
     injected for tests; defaults to hashing the FASTA files.  With
@@ -286,11 +299,22 @@ def build_hixf_from_layout(
             return ixf_pos, key
         return ixf_pos, union
 
-    build_node(root, is_root=True)
+    import time as _time
 
+    t0 = _time.perf_counter()
+    build_node(root, is_root=True)
+    if timings is not None:
+        timings["collect_bins_s"] = _time.perf_counter() - t0
+
+    t0 = _time.perf_counter()
     if uniform_level_geometry:
         # phase 2: size each level for its maximum bin cardinality so
-        # siblings share geometry; construct level by level
+        # siblings share geometry.  Construction parallelizes over ALL
+        # pending IXFs of all levels (the reference only parallelizes
+        # the root's children, loop_over_children.cpp:74-87): once each
+        # level's max cardinality is known the per-IXF peels are
+        # independent, and the C++ peeler (native/xor_peel.cpp) releases
+        # the GIL for the duration of the call.
         from collections import defaultdict
 
         by_depth: dict[int, list[tuple[int, object]]] = defaultdict(list)
@@ -302,21 +326,37 @@ def build_hixf_from_layout(
                 return [spill.get(k) for k in bins_ref]
             return bins_ref
 
-        for depth in sorted(by_depth):
-            level = by_depth[depth]
-            level_max = 0
+        level_max: dict[int, int] = {}
+        for depth, level in by_depth.items():
+            mx = 0
             for _, bins_ref in level:
                 for arr in _load_bins(bins_ref):
                     # build_ixf dedups before sizing; match that here
-                    level_max = max(level_max,
-                                    int(np.unique(arr).shape[0]))
-            for ixf_pos, bins_ref in level:
-                ixfs[ixf_pos] = build_ixf(
-                    _load_bins(bins_ref),
-                    max_elements_per_bin=max(level_max, 1))
-                if spill is not None:
-                    for k in bins_ref:
-                        spill.pop(k)
+                    mx = max(mx, int(np.unique(arr).shape[0]))
+            level_max[depth] = max(mx, 1)
+
+        def _construct(job):
+            depth, ixf_pos, bins_ref = job
+            ixfs[ixf_pos] = build_ixf(
+                _load_bins(bins_ref),
+                max_elements_per_bin=level_max[depth])
+            if spill is not None:
+                for k in bins_ref:
+                    spill.pop(k)
+
+        jobs = [(depth, ixf_pos, bins_ref)
+                for depth in sorted(by_depth)
+                for ixf_pos, bins_ref in by_depth[depth]]
+        if threads > 1 and len(jobs) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=threads) as ex:
+                list(ex.map(_construct, jobs))
+        else:
+            for job in jobs:
+                _construct(job)
+    if timings is not None:
+        timings["peel_s"] = _time.perf_counter() - t0
     hixf = HIXF(
         ixfs=ixfs,
         next_ixf_id=next_ids,

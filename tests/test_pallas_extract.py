@@ -10,6 +10,7 @@ n_emit sentinel and take the host-oracle fallback.  These tests pin:
 """
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -103,6 +104,33 @@ class TestFusedExtract:
             jnp.asarray(packed), jnp.asarray(lengths), 22, 12, 6, hcap,
             interpret=True))
         assert (fne >= int(_TIE_SENTINEL)).all()
+
+    def test_compiled_matches_interpret_subvreg_bucket(self):
+        # Regression: read buckets with < 128 stream words per row
+        # (L < 2048) used sub-vreg [RT, Wd] phase arrays whose compiled
+        # roll+funnel-shift chains corrupted sparse lanes — identical
+        # wrong bits from Mosaic on TPU and the compiled pallas CPU
+        # pipeline, while interpret mode was exact (found by the bench
+        # device-vs-host parity gate; minimized in tools/debug_min.py).
+        # syncmer_hashes_fused now pads the word stream to >= 128 lanes;
+        # this pins compiled == interpret on the affected bucket.
+        L = 1024
+        seqs = [randseq(1000) for _ in range(8)]
+        hcap = dsync.hash_cap(L)
+        packed, lengths = pack_reads(seqs, L)
+        pr, ln = jnp.asarray(packed), jnp.asarray(lengths)
+        try:
+            a = syncmer_hashes_fused(pr, ln, 22, 12, 5, hcap,
+                                     interpret=False)
+            jax.block_until_ready(a)
+        except ValueError as e:  # pytest's CPU env has no compiled
+            # pallas path (the bench parity gate covers it on real TPU
+            # and under the axon-site Mosaic emulation)
+            pytest.skip(f"compiled pallas unavailable: {e}")
+        b = syncmer_hashes_fused(pr, ln, 22, 12, 5, hcap,
+                                 interpret=True)
+        for name, x, y in zip(("hi", "lo", "valid", "nu", "ne"), a, b):
+            assert np.array_equal(np.asarray(x), np.asarray(y)), name
 
     def test_emission_irrelevant_ties_still_exact(self):
         # many random reads across two configs: every unflagged read is
