@@ -104,6 +104,14 @@ def main():
     tB = timed(ext_dedup, pr, ln)
     log(f"B extract+dedup         {tB*1e3:8.2f} ms/pass (dedup ~{(tB-tA)*1e3:.2f})")
 
+    # F: the production fused Pallas extraction+dedup+wyhash kernel
+    # (replaces A+B in the e2e step since round 3)
+    from taxor_tpu.device.pallas_extract import syncmer_hashes_fused
+
+    tF = timed(lambda p, l: syncmer_hashes_fused(p, l, k, s, t, hcap),
+               pr, ln)
+    log(f"F fused extract+dedup   {tF*1e3:8.2f} ms/pass (production)")
+
     # C: probe only, on precomputed inputs
     k_hi, k_lo, emit = syncmer_kmers(pr, ln, k, s, t)
     khi_c, klo_c, valid, n_unique, n_emit = dedup_kmers(

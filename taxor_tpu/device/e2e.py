@@ -135,6 +135,7 @@ def make_hixf_e2e_grouped_fn(groups, leaf_users, k: int, s: int, t: int,
             sums = jnp.dot(
                 counts.astype(jnp.float32), g["onehot"],
                 preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             ).astype(jnp.int32)
             for (bfs_pos, run_off, _n_runs, children, leaf_sel), act in zip(
                     g["members"], acts):
@@ -213,9 +214,16 @@ def fused_e2e_step(
     f4i = jax.lax.bitcast_convert_type(f4, jnp.int32)
     counts = _probe_call_chunked(fp_packed, pos, f4i, valid, bin_tile4,
                                  interpret)
+    # HIGHEST precision is REQUIRED for exactness: the TPU MXU's default
+    # f32 matmul truncates operands to bf16 (8 mantissa bits), silently
+    # rounding any per-bin count > 256 — plain-k-mer reads carry ~1000
+    # counts and came back off-by-one (caught by the bench parity gate).
+    # 3-pass bf16 reconstructs exact f32, and one-hot sums of ints
+    # < 2^24 are exact in f32.
     sums = jnp.dot(
         counts.astype(jnp.float32), onehot,
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     ).astype(jnp.int32)
     vs = jnp.where((run_users >= 0)[None, :], sums, jnp.int32(-1))
     kk = min(topk, vs.shape[1])

@@ -921,5 +921,6 @@ def _count_and_segment_jit(fp, onehot, pos, fpr, mask):
 def _segment_jit(counts, onehot):
     # exact for counts < 2^24; hash counts per read are far below that
     return jnp.dot(
-        counts.astype(jnp.float32), onehot, preferred_element_type=jnp.float32
+        counts.astype(jnp.float32), onehot, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST
     ).astype(jnp.int32)

@@ -758,6 +758,7 @@ def fused_probe_step(
     return jnp.dot(
         counts.astype(jnp.float32), onehot,
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     ).astype(jnp.int32)
 
 

@@ -175,6 +175,7 @@ def sharded_e2e_fn(mesh: Mesh, k: int, s: int, t: int, hcap: int,
         part = jnp.dot(
             counts.astype(jnp.float32), onehot_local,
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         sums = jax.lax.psum(part, "bins").astype(jnp.int32)
         vs = jnp.where((run_users >= 0)[None, :], sums, jnp.int32(-1))
@@ -274,6 +275,7 @@ def sharded_hixf_e2e_fn(mesh: Mesh, groups_meta, k: int, s: int,
             part = jnp.dot(
                 counts.astype(jnp.float32), onehots[gi],
                 preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             )
             sums = jax.lax.psum(part, "bins").astype(jnp.int32)
             for (bfs_pos, run_off, _n_runs, children, _ls), act in zip(
@@ -316,6 +318,7 @@ def sharded_search_step_fn(mesh: Mesh):
             counts.astype(jnp.float32),
             run_onehot,
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         ).astype(jnp.int32)
         emitted = sums >= thresholds[:, None]
         return sums, emitted
