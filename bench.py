@@ -369,8 +369,17 @@ def main():
     except Exception as e:
         log(f"bench[parity]: failed: {e!r}")
         parity = {"error": repr(e)}
-    parity_ok = all(v is not False for v in parity.values()) \
-        and "error" not in parity
+    # pass requires (a) no failure/error AND (b) at least one scheme
+    # actually byte-checked — a budget-exhausted run that skipped every
+    # scheme (all None) must NOT read as a vacuously green gate
+    parity_ok = (all(v is not False for v in parity.values())
+                 and any(v is True for v in parity.values())
+                 and "error" not in parity)
+    # the driver stores only the TAIL of stdout, which truncated the
+    # parity evidence out of BENCH_r03; emit it as a dedicated late
+    # stderr line AND append it at the END of the JSON object below
+    log(f"bench[parity]: PARITY_RESULT={json.dumps(parity)} "
+        f"parity_ok={parity_ok}")
 
     value = primary.get("device_compute_reads_per_s")
     if value is None:
@@ -426,6 +435,10 @@ def main():
                 "host_cores": os.cpu_count(),
             },
         }
+    # trailing copy: survives driver stdout-tail truncation (VERDICT r3
+    # weak #5 — BENCH_r03 lost the parity detail to the tail cut)
+    result["parity"] = parity
+    result["parity_ok"] = parity_ok
     print(json.dumps(result))
     if not parity_ok:
         sys.exit(1)

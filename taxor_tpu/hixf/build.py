@@ -62,16 +62,19 @@ class HashStore:
     def __init__(self, spill_dir: str | None = None):
         self.spill_dir = spill_dir
         self._data: dict[str, np.ndarray | str] = {}
-        self._counter = 0
+        # itertools.count: next() is atomic under the GIL, so put() from
+        # the root-parallel build_node threads can never mint the same
+        # spill filename twice (a bare `+= 1` read-modify-write could,
+        # silently aliasing two keys to one overwritten file)
+        self._counter = itertools.count(1)
         self._prefix = f"hashes_s{next(_STORE_SEQ)}"
         if spill_dir:
             os.makedirs(spill_dir, exist_ok=True)
 
     def put(self, key: str, hashes: np.ndarray) -> None:
         if self.spill_dir:
-            self._counter += 1
             path = os.path.join(self.spill_dir,
-                                f"{self._prefix}_{self._counter:06d}.npy")
+                                f"{self._prefix}_{next(self._counter):06d}.npy")
             np.save(path, hashes)
             self._data[key] = path
         else:
@@ -335,22 +338,29 @@ def build_hixf_from_layout(
                     mx = max(mx, int(np.unique(arr).shape[0]))
             level_max[depth] = max(mx, 1)
 
+        jobs = [(depth, ixf_pos, bins_ref)
+                for depth in sorted(by_depth)
+                for ixf_pos, bins_ref in by_depth[depth]]
+        # divide the native peeler's threads among the outer workers:
+        # each build_ixf defaults to os.cpu_count() peel threads, so an
+        # outer pool of W would otherwise oversubscribe to W x ncpu
+        outer = min(threads, len(jobs)) if threads > 1 else 1
+        inner = max(1, (os.cpu_count() or 1) // max(outer, 1))
+
         def _construct(job):
             depth, ixf_pos, bins_ref = job
             ixfs[ixf_pos] = build_ixf(
                 _load_bins(bins_ref),
-                max_elements_per_bin=level_max[depth])
+                max_elements_per_bin=level_max[depth],
+                threads=inner)
             if spill is not None:
                 for k in bins_ref:
                     spill.pop(k)
 
-        jobs = [(depth, ixf_pos, bins_ref)
-                for depth in sorted(by_depth)
-                for ixf_pos, bins_ref in by_depth[depth]]
-        if threads > 1 and len(jobs) > 1:
+        if outer > 1:
             from concurrent.futures import ThreadPoolExecutor
 
-            with ThreadPoolExecutor(max_workers=threads) as ex:
+            with ThreadPoolExecutor(max_workers=outer) as ex:
                 list(ex.map(_construct, jobs))
         else:
             for job in jobs:
