@@ -68,7 +68,8 @@ def make_hixf_e2e_grouped_fn(groups, leaf_users, k: int, s: int, t: int,
                              topk: int, interpret: bool = False,
                              scheme_kind: str = "syncmer",
                              window: int = 0,
-                             scale_thresh: int = 0):
+                             scale_thresh: int = 0,
+                             descend_all: bool = False):
     """Fused hierarchical search with LEVEL-GROUPED probing.
 
     IXFs sharing (seed, block_length) — which the builder's uniform level
@@ -90,6 +91,18 @@ def make_hixf_e2e_grouped_fn(groups, leaf_users, k: int, s: int, t: int,
        group's sums).
     leaf_users: device int32, user bin per concatenated leaf column in
       group/member order.
+
+    descend_all: length-dependent threshold models (fracminhash,
+      taxor_search.cpp:263 + fracminhash_model.cpp:23-33) cannot use the
+      count-indexed descent table.  But the reference's descent and
+      emission thresholds are the SAME per-read value tau, so
+      ``emit(leaf) <=> min(leaf_sum, ancestor merged sums) >= tau``.
+      With descend_all the kernel probes every level unconditionally,
+      carries that chain-min per leaf, and returns packed
+      [R, 3*topk + 2]: [minv_k desc | their leaf sums | user bins |
+      n_unique | n_emit].  The host applies the exact float64 tau to
+      minv and reports the leaf sums — bit-identical emissions with no
+      device float math (thr_table is ignored in this mode).
     """
     from .pallas_probe import _probe_call_chunked
 
@@ -108,15 +121,22 @@ def make_hixf_e2e_grouped_fn(groups, leaf_users, k: int, s: int, t: int,
             valid = valid & _scaling_keep(hi, lo, scale_thresh)
             n_unique = valid.sum(axis=1, dtype=jnp.int32)
         thr = thr_table[jnp.clip(n_unique, 0, thr_table.shape[0] - 1)]
-        active = {0: jnp.ones((R,), dtype=bool)}
+        ones = jnp.ones((R,), dtype=bool)
+        active = {0: ones}
+        chain = {0: jnp.full((R,), jnp.int32(2**30))}  # ancestor min
         leaf_vals = []
+        leaf_sums = []
         poscache: dict = {}  # (seed, bl) -> raw (pos, f4i): subgroups of
         # one level share the position set (trace-time reuse)
         for g in groups:
-            acts = [active[m[0]] for m in g["members"]]
-            act_any = acts[0]
-            for a in acts[1:]:
-                act_any = act_any | a
+            if descend_all:
+                acts = [ones] * len(g["members"])
+                act_any = ones
+            else:
+                acts = [active[m[0]] for m in g["members"]]
+                act_any = acts[0]
+                for a in acts[1:]:
+                    act_any = act_any | a
             cached = poscache.get(g.get("poskey"))
             if cached is None:
                 pos_raw, f4 = probe_positions_and_fprint4(
@@ -139,6 +159,16 @@ def make_hixf_e2e_grouped_fn(groups, leaf_users, k: int, s: int, t: int,
             ).astype(jnp.int32)
             for (bfs_pos, run_off, _n_runs, children, leaf_sel), act in zip(
                     g["members"], acts):
+                if descend_all:
+                    ch = chain[bfs_pos]
+                    for local_run, child_pos in children:
+                        chain[child_pos] = jnp.minimum(
+                            ch, sums[:, run_off + local_run])
+                    if leaf_sel.shape[0]:
+                        ls = sums[:, leaf_sel]
+                        leaf_sums.append(ls)
+                        leaf_vals.append(jnp.minimum(ch[:, None], ls))
+                    continue
                 for local_run, child_pos in children:
                     active[child_pos] = act & (
                         sums[:, run_off + local_run] >= thr)
@@ -151,8 +181,18 @@ def make_hixf_e2e_grouped_fn(groups, leaf_users, k: int, s: int, t: int,
         vals, idx = jax.lax.top_k(allv, kk)
         users = leaf_users[idx]
         users = jnp.where(vals >= 0, users, jnp.int32(-1))
+        pad = ((0, 0), (0, topk - kk))
+        if descend_all:
+            alls = jnp.concatenate(leaf_sums, axis=1)
+            sums_k = jnp.take_along_axis(alls, idx, axis=1)
+            if kk < topk:
+                vals = jnp.pad(vals, pad, constant_values=-1)
+                sums_k = jnp.pad(sums_k, pad, constant_values=-1)
+                users = jnp.pad(users, pad, constant_values=-1)
+            return jnp.concatenate(
+                [vals, sums_k, users, n_unique[:, None],
+                 n_emit[:, None]], axis=1)
         if kk < topk:
-            pad = ((0, 0), (0, topk - kk))
             vals = jnp.pad(vals, pad, constant_values=-1)
             users = jnp.pad(users, pad, constant_values=-1)
         return jnp.concatenate(

@@ -59,6 +59,18 @@ def _default_engine() -> str:
     return "pallas" if jax.default_backend() == "tpu" else "xla"
 
 
+# threshold models that depend on the hash count only — these descend
+# with the exact count-indexed device table.  Everything else
+# (fracminhash: count AND read length, taxor_search.cpp:263) uses the
+# descend-all chain-min mode (e2e.make_hixf_e2e_grouped_fn docstring).
+COUNT_ONLY_KINDS = ("percentage", "syncmer_model", "kmer_model")
+
+
+def _descend_all(thresholder) -> bool:
+    return thresholder is not None and \
+        thresholder.kind not in COUNT_ONLY_KINDS
+
+
 class DeviceHIXF:
     """Device-resident HIXF with BFS traversal metadata.
 
@@ -239,10 +251,12 @@ class DeviceHIXF:
     def e2e_capable(self, thresholder=None) -> bool:
         """Whether the fused reads->top-k dispatch covers this index:
         flat always qualifies (thresholds applied on host); hierarchical
-        needs every IXF on the Pallas engine plus a count-only threshold
-        model (percentage / syncmer table) for the exact device descent
-        table.  With a mesh, the flat fused step runs bin-sharded under
-        shard_map (sharding.sharded_e2e_fn)."""
+        needs every IXF on the Pallas engine plus a thresholder —
+        count-only models (percentage / syncmer / kmer) descend with the
+        exact per-count device table, length-dependent models
+        (fracminhash) use the descend-all chain-min mode.  With a mesh,
+        the fused steps run bin-sharded under shard_map
+        (sharding.sharded_e2e_fn / sharded_hixf_e2e_fn)."""
         if self.mesh is not None:
             import jax
 
@@ -251,16 +265,12 @@ class DeviceHIXF:
                 return False
             if len(self.ixfs) == 1:
                 return True
-            # hierarchical descent thresholds come from the exact
-            # per-count table, so the model must be count-only
-            return thresholder is not None and thresholder.kind in (
-                "percentage", "syncmer_model", "kmer_model")
+            return thresholder is not None
         if not all(d.engine == "pallas" for d in self.ixfs):
             return False
         if len(self.ixfs) == 1:
             return True
-        return thresholder is not None and thresholder.kind in (
-            "percentage", "syncmer_model", "kmer_model")
+        return thresholder is not None
 
     def _sharded_e2e_async(self, raw_reads, lengths, scheme, k: int,
                            thresholder=None):
@@ -411,14 +421,16 @@ class DeviceHIXF:
             lengths = np.pad(lengths, (0, rpad))
         L = raw_reads.shape[1] * 4
         hcap = hash_cap(L) if scheme.use_syncmer else L
-        tkey = (id(thresholder), hcap)
+        da = _descend_all(thresholder)
+        tkey = ("zeros", hcap) if da else (id(thresholder), hcap)
         thr_tbl = state["thr_tables"].get(tkey)
         if thr_tbl is None:
             thr_tbl = state["thr_tables"][tkey] = jnp.asarray(
-                self._thr_table(thresholder, hcap))
+                np.zeros(hcap + 1, dtype=np.int32) if da
+                else self._thr_table(thresholder, hcap))
         fkey = (scheme.kmer_size, scheme.syncmer_size, scheme.t_syncmer,
                 scheme.use_syncmer, scheme.window_size, scheme.scaling,
-                hcap, k)
+                hcap, k, da)
         fn = state["fns"].get(fkey)
         if fn is None:
             fn = state["fns"][fkey] = sharded_hixf_e2e_fn(
@@ -428,7 +440,8 @@ class DeviceHIXF:
                 scheme_kind=("syncmer" if scheme.use_syncmer
                              else "minimizer"),
                 window=scheme.window_size,
-                scale_thresh=_scale_thresh(scheme))
+                scale_thresh=_scale_thresh(scheme),
+                descend_all=da)
         packed_dev = fn(
             state["fps"], state["onehots"], jnp.asarray(raw_reads),
             jnp.asarray(lengths.astype(np.int32)), thr_tbl,
@@ -443,6 +456,10 @@ class DeviceHIXF:
             from .sharding import host_view
 
             packed = host_view(packed_dev)[:R0]
+            if da:  # [minv | leaf sums | users | n_unique | n_emit]
+                return (packed[:, :k], packed[:, 2 * k : 3 * k],
+                        packed[:, 3 * k], packed[:, 3 * k + 1],
+                        hcap, packed[:, k : 2 * k])
             return (packed[:, :k], packed[:, k : 2 * k],
                     packed[:, 2 * k], packed[:, 2 * k + 1], hcap)
 
@@ -466,13 +483,14 @@ class DeviceHIXF:
             depths[i] = depths[self.parent[i][0]] + 1
         return depths
 
-    def _hixf_e2e_fn(self, scheme, k: int):
+    def _hixf_e2e_fn(self, scheme, k: int, descend_all: bool = False):
         """Cached hierarchical fused step: IXFs sharing
         (depth, seed, block_length, slots) probe as ONE grouped kernel
         call (e2e.make_hixf_e2e_grouped_fn) — the builder's uniform level
         geometry makes whole levels one group."""
         key = (scheme.kmer_size, scheme.syncmer_size, scheme.t_syncmer,
-               scheme.use_syncmer, scheme.window_size, scheme.scaling, k)
+               scheme.use_syncmer, scheme.window_size, scheme.scaling, k,
+               descend_all)
         cache = getattr(self, "_hixf_e2e_cache", None)
         if cache is None:
             cache = self._hixf_e2e_cache = {}
@@ -505,6 +523,7 @@ class DeviceHIXF:
                              else "minimizer"),
                 window=scheme.window_size,
                 scale_thresh=_scale_thresh(scheme),
+                descend_all=descend_all,
             )
         return cache[key]
 
@@ -662,14 +681,19 @@ class DeviceHIXF:
         if len(self.ixfs) > 1:
             L = raw_reads.shape[1] * 4
             hcap = hash_cap(L) if scheme.use_syncmer else L
+            da = _descend_all(thresholder)
             tbl_cache = getattr(self, "_thr_table_cache", None)
             if tbl_cache is None:
                 tbl_cache = self._thr_table_cache = {}
-            tkey = (id(thresholder), hcap)
+            # descend-all ignores the table; an all-zero placeholder
+            # keeps the fn signature (and avoids evaluating the
+            # length-dependent model at a meaningless fixed length)
+            tkey = ("zeros", hcap) if da else (id(thresholder), hcap)
             if tkey not in tbl_cache:
                 tbl_cache[tkey] = jnp.asarray(
-                    self._thr_table(thresholder, hcap))
-            fn = self._hixf_e2e_fn(scheme, k)
+                    np.zeros(hcap + 1, dtype=np.int32) if da
+                    else self._thr_table(thresholder, hcap))
+            fn = self._hixf_e2e_fn(scheme, k, descend_all=da)
             packed_dev = fn(
                 jnp.asarray(raw_reads),
                 jnp.asarray(lengths.astype(np.int32)),
@@ -683,6 +707,10 @@ class DeviceHIXF:
 
             def collect():
                 packed = np.asarray(packed_dev)[:R]
+                if da:  # [minv | leaf sums | users | n_unique | n_emit]
+                    return (packed[:, :k], packed[:, 2 * k : 3 * k],
+                            packed[:, 3 * k], packed[:, 3 * k + 1],
+                            hcap, packed[:, k : 2 * k])
                 return (packed[:, :k], packed[:, k : 2 * k],
                         packed[:, 2 * k], packed[:, 2 * k + 1], hcap)
 

@@ -197,7 +197,8 @@ def sharded_hixf_e2e_fn(mesh: Mesh, groups_meta, k: int, s: int,
                         t: int, hcap: int, topk: int,
                         interpret: bool = False,
                         scheme_kind: str = "syncmer", window: int = 0,
-                        scale_thresh: int = 0):
+                        scale_thresh: int = 0,
+                        descend_all: bool = False):
     """HIERARCHICAL fused search over the (reads x bins) mesh with
     LEVEL-GROUPED probing — the multi-chip configuration for multi-level
     indexes too large for one chip's HBM (GTDB-scale, SURVEY.md §7
@@ -219,6 +220,11 @@ def sharded_hixf_e2e_fn(mesh: Mesh, groups_meta, k: int, s: int,
     leaf_users, seeds_hi, seeds_lo, bls) -> packed int32 [R, 2*topk+2]
     (fused_e2e_step layout).  fps/onehots are per-GROUP tuples of
     bins-sharded arrays; seeds/bls are [n_groups] replicated vectors.
+
+    descend_all: the length-dependent-threshold mode (fracminhash) —
+    probe every level unconditionally and return
+    [R, 3*topk+2] = [chain-min | leaf sums | users | n_unique | n_emit];
+    see e2e.make_hixf_e2e_grouped_fn for the emission equivalence.
     """
     from ..utils.u64jnp import probe_positions_and_fprint4
     from .pallas_probe import _probe_call_chunked, choose_bin_tile4
@@ -254,14 +260,21 @@ def sharded_hixf_e2e_fn(mesh: Mesh, groups_meta, k: int, s: int,
         n_unique, n_emit = gather(n_unique), gather(n_emit)
         R = hi.shape[0]
         thr = thr_table[jnp.clip(n_unique, 0, thr_table.shape[0] - 1)]
-        active = {0: jnp.ones((R,), dtype=bool)}
+        ones = jnp.ones((R,), dtype=bool)
+        active = {0: ones}
+        chain = {0: jnp.full((R,), jnp.int32(2**30))}
         leaf_vals = []
+        leaf_sums = []
         for gi, members in enumerate(groups_meta):
             fp_local = fps[gi]
-            acts = [active[m[0]] for m in members]
-            act_any = acts[0]
-            for a in acts[1:]:
-                act_any = act_any | a
+            if descend_all:
+                acts = [ones] * len(members)
+                act_any = ones
+            else:
+                acts = [active[m[0]] for m in members]
+                act_any = acts[0]
+                for a in acts[1:]:
+                    act_any = act_any | a
             pos, f4 = probe_positions_and_fprint4(
                 hi, lo, seeds_hi[gi], seeds_lo[gi], bls[gi])
             S1 = fp_local.shape[0]
@@ -278,13 +291,21 @@ def sharded_hixf_e2e_fn(mesh: Mesh, groups_meta, k: int, s: int,
                 precision=jax.lax.Precision.HIGHEST,
             )
             sums = jax.lax.psum(part, "bins").astype(jnp.int32)
-            for (bfs_pos, run_off, _n_runs, children, _ls), act in zip(
-                    members, acts):
+            for (bfs_pos, run_off, _n_runs, children, _ls), act, sel in \
+                    zip(members, acts, leaf_sels[gi]):
+                if descend_all:
+                    ch = chain[bfs_pos]
+                    for local_run, child_pos in children:
+                        chain[child_pos] = jnp.minimum(
+                            ch, sums[:, run_off + local_run])
+                    if sel.shape[0]:
+                        ls = sums[:, sel]
+                        leaf_sums.append(ls)
+                        leaf_vals.append(jnp.minimum(ch[:, None], ls))
+                    continue
                 for local_run, child_pos in children:
                     active[child_pos] = act & (
                         sums[:, run_off + local_run] >= thr)
-            for (bfs_pos, run_off, _n_runs, _ch, _ls), act, sel in zip(
-                    members, acts, leaf_sels[gi]):
                 if sel.shape[0]:
                     leaf_vals.append(
                         jnp.where(act[:, None], sums[:, sel],
@@ -294,8 +315,18 @@ def sharded_hixf_e2e_fn(mesh: Mesh, groups_meta, k: int, s: int,
         vals, idx = jax.lax.top_k(allv, kk)
         users = leaf_users[idx]
         users = jnp.where(vals >= 0, users, jnp.int32(-1))
+        padc = ((0, 0), (0, topk - kk))
+        if descend_all:
+            alls = jnp.concatenate(leaf_sums, axis=1)
+            sums_k = jnp.take_along_axis(alls, idx, axis=1)
+            if kk < topk:
+                vals = jnp.pad(vals, padc, constant_values=-1)
+                sums_k = jnp.pad(sums_k, padc, constant_values=-1)
+                users = jnp.pad(users, padc, constant_values=-1)
+            return jnp.concatenate(
+                [vals, sums_k, users, n_unique[:, None],
+                 n_emit[:, None]], axis=1)
         if kk < topk:
-            padc = ((0, 0), (0, topk - kk))
             vals = jnp.pad(vals, padc, constant_values=-1)
             users = jnp.pad(users, padc, constant_values=-1)
         return jnp.concatenate(

@@ -257,7 +257,15 @@ def search_single(
                     pend.append((part, gseqs, device_hixf.e2e_async(
                         packed, lengths, scheme, thresholder, k=topk)))
             for part, gseqs, collect in pend:
-                vals, users, counts, n_emit, hcap = collect()
+                res = collect()
+                if len(res) == 6:  # descend-all chain-min mode
+                    # (hierarchical + length-dependent thresholds):
+                    # vals = min(leaf sum, ancestor merged sums),
+                    # sums = the leaf sums to report
+                    vals, users, counts, n_emit, hcap, minv_sums = res
+                else:
+                    vals, users, counts, n_emit, hcap = res
+                    minv_sums = None
                 # truncation-driven escalation: if a noticeable fraction
                 # of reads hit the device top-k ceiling (falling back to
                 # the host oracle), widen k for subsequent batches — one
@@ -268,16 +276,23 @@ def search_single(
                 Rr = len(part)
                 rv = np.asarray(vals)[:Rr]
                 nv = (rv >= 0).sum(axis=1)
-                fb = ((nv == kk)
-                      & (rv[:, kk - 1].astype(np.float64)
-                         >= rv[:, 0].astype(np.float64) * 0.8)
-                      & (rv[:, 0] > 0))
+                if minv_sums is None:
+                    fb = ((nv == kk)
+                          & (rv[:, kk - 1].astype(np.float64)
+                             >= rv[:, 0].astype(np.float64) * 0.8)
+                          & (rv[:, 0] > 0))
+                else:
+                    # chain-min candidates carry no 0.8 shortcut (the
+                    # max is over SUMS, which an untruncated slot could
+                    # still exceed) — escalate whenever all k slots are
+                    # real candidates
+                    fb = (nv == kk) & (rv[:, 0] > 0)
                 fb |= np.asarray(n_emit)[:Rr] > hcap
                 if fb.mean() > 0.02:
                     _escalate_topk(topk)
                 prs, hcs = _pairs_from_e2e(
                     vals, users, counts, n_emit, gseqs, index, scheme,
-                    thresholder, dfs_rank, hcap)
+                    thresholder, dfs_rank, hcap, sums=minv_sums)
                 for j, i in enumerate(part):
                     all_pairs[i] = prs[j]
                     hash_counts[i] = hcs[j]
@@ -346,7 +361,7 @@ def _device_dispatch(device_hixf, hash_lists, thresholds):
 
 
 def _pairs_from_e2e(vals, users, counts, n_emit, seqs, index, scheme,
-                    thresholder, dfs_rank, hcap):
+                    thresholder, dfs_rank, hcap, sums=None):
     """Decode the fused end-to-end device result (device/e2e.py).
 
     Device returns top-k RAW run sums; this applies the per-read
@@ -357,7 +372,13 @@ def _pairs_from_e2e(vals, users, counts, n_emit, seqs, index, scheme,
     the hcap slice even when counts <= hcap; hcap is the capacity the
     device step actually used, passed through the collector so the two
     can never disagree), and all k candidate slots surviving the
-    threshold + 0.8*max pre-filter."""
+    threshold + 0.8*max pre-filter.
+
+    sums (descend-all chain-min mode): vals are then
+    min(leaf sum, ancestor merged sums) — the emission test value — and
+    sums are the leaf sums to REPORT.  The 0.8 shortcut is unsound there
+    (a dropped slot's SUM may exceed the kept maximum), so truncation
+    falls back whenever all k slots pass the threshold."""
     from ..hash.schemes import search_hashes
 
     k_sch = scheme.kmer_size
@@ -398,8 +419,13 @@ def _pairs_from_e2e(vals, users, counts, n_emit, seqs, index, scheme,
     ok = (vals >= thr[:, None]) & (users >= 0)
     n = ok.sum(axis=1)  # vals descending => ok is a prefix
     f64 = np.float64
-    trunc = (n == kk) & (
-        vals[:, kk - 1].astype(f64) >= vals[:, 0].astype(f64) * 0.8)
+    if sums is not None:
+        sums = np.asarray(sums, dtype=np.int64)[:Rs]
+        trunc = n == kk  # no 0.8 shortcut on chain-min candidates
+        vals = sums  # report the leaf sums, not the emission-test minv
+    else:
+        trunc = (n == kk) & (
+            vals[:, kk - 1].astype(f64) >= vals[:, 0].astype(f64) * 0.8)
     need_fallback = (n_emit > hcap) | trunc
     # dfs ordering of the candidate slots (argsort only for multi-hit
     # reads; single-hit reads — the common case — skip it)

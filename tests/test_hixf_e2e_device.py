@@ -93,6 +93,81 @@ def test_thr_table_matches_host(hier_setup):
             assert tbl[c] == min(th.get(c, 0.0), 2**31 - 1)
 
 
+@pytest.fixture(scope="module", params=[1, 3])
+def hier_fracminhash_setup(request, tmp_path_factory):
+    """Multi-level HIXF under the minimizer scheme (window > k), whose
+    default threshold model is fracminhash — length-dependent, so the
+    fused descent runs in descend-all chain-min mode
+    (e2e.make_hixf_e2e_grouped_fn docstring).  params: scaling factor."""
+    from taxor_tpu.io.fastx import read_all
+
+    scaling = request.param
+    tmp = str(tmp_path_factory.mktemp("hier_fmh"))
+    rng = np.random.default_rng(55)
+    # the tmax sweep's smallest candidate is 64 technical bins, so a
+    # genuinely hierarchical layout needs > 64 user bins
+    tsv, gdir, genomes = make_ref_set(tmp, rng, n_species=100,
+                                      genome_len=3000)
+    reads_file = make_reads(tmp, rng, genomes, n_reads_per_genome=2,
+                            read_len=800, error_rate=0.02)
+    index = run_build(BuildConfig(
+        input_file=tsv, input_sequence_dir=gdir, output_filename="",
+        kmer_size=16, window_size=22, use_syncmer=False,
+        scaling=scaling, layout_mode="auto", tmax=64,
+        layout_file=os.path.join(tmp, "fmh.out"),
+    ))
+    assert len(index.hixf.ixfs) > 1
+    reads = [r.seq for r in read_all(reads_file)]
+    return index, reads
+
+
+def test_hier_fracminhash_descend_all_matches_host(hier_fracminhash_setup):
+    """VERDICT r3 item 5: scaled / length-dependent-threshold searches on
+    hierarchical trees must dispatch fused (no silent synchronous
+    fallback) and reproduce the host oracle exactly."""
+    index, reads = hier_fracminhash_setup
+    scheme = index.scheme
+    thresholder = Thresholder.make(scheme.kmer_size, scheme.window_size,
+                                   0.04, -1.0, scheme.use_syncmer)
+    assert thresholder.kind == "fracminhash"
+    dhixf = DeviceHIXF(index.hixf, engine="pallas")
+    dhixf._interpret = True
+    assert dhixf.e2e_capable(thresholder)
+    assert len(dhixf.ixfs) > 1
+
+    L = dsync.pad_len_bucket(max(len(r) for r in reads))
+    packed, lengths = dsync.pack_reads(reads, L)
+    res = dhixf.e2e_async(packed, lengths, scheme, thresholder, k=16)()
+    assert len(res) == 6  # chain-min mode: (..., hcap, leaf sums)
+    vals, users, counts, n_emit, hcap, sums = res
+    dfs_rank = index.hixf.user_bin_dfs_order()
+    pairs, hash_counts = _pairs_from_e2e(
+        vals, users, counts, n_emit, reads, index, scheme, thresholder,
+        dfs_rank, hcap, sums=sums)
+
+    def final(prs):
+        if not prs:
+            return []
+        mx = max(c for _, c in prs)
+        return sorted((u, c) for u, c in prs
+                      if not float(c) < float(mx) * 0.8)
+
+    host_hl = search_hashes(reads, scheme)
+    n_hits = 0
+    for r, seq in enumerate(reads):
+        hl = host_hl[r]
+        assert hash_counts[r] == hl.shape[0], r
+        thr = _read_threshold(thresholder, hl.shape[0], len(seq),
+                              scheme.kmer_size)
+        expect = index.hixf.membership(hl, thr)
+        assert final(pairs[r]) == final(expect), r
+        n_hits += bool(expect)
+    # scaling=3 on 800 b reads leaves few hashes vs the CI threshold —
+    # classification is sparse by design; the parity loop above is the
+    # test, the floor only guards against a degenerate all-empty run
+    assert n_hits >= (10 if scheme.scaling > 1 else len(reads) // 2)
+
+
 @pytest.fixture(scope="module", params=[(20, 20), (18, 26)])
 def kmer_setup(request, tmp_path_factory):
     """Plain-k-mer (window == k, the reference default scheme) and

@@ -203,6 +203,69 @@ def test_sharded_hixf_matches_single_device(hier_index, percentage):
     np.testing.assert_array_equal(users, e_users)
 
 
+@pytest.fixture(scope="module")
+def hier_fmh_index(tmp_path_factory):
+    """Hierarchical index under the minimizer scheme with scaling —
+    the fracminhash (length-dependent) threshold model, which the fused
+    paths serve in descend-all chain-min mode."""
+    import os
+
+    from taxor_tpu.apps.build import BuildConfig, run_build
+    from taxor_tpu.io.fastx import read_all
+
+    tmp = str(tmp_path_factory.mktemp("sharded_fmh"))
+    rng = np.random.default_rng(13)
+    tsv, gdir, genomes = make_ref_set(tmp, rng, n_species=100,
+                                      genome_len=2500)
+    reads_file = make_reads(tmp, rng, genomes, n_reads_per_genome=1,
+                            read_len=700, error_rate=0.03)
+    index = run_build(BuildConfig(
+        input_file=tsv, input_sequence_dir=gdir, output_filename="",
+        kmer_size=16, window_size=22, use_syncmer=False, scaling=2,
+        layout_mode="auto", tmax=64,
+        layout_file=os.path.join(tmp, "b.out"),
+    ))
+    assert len(index.hixf.ixfs) > 1
+    reads = [r.seq for r in read_all(reads_file)]
+    return index, reads
+
+
+def test_sharded_hixf_descend_all_matches_single_device(hier_fmh_index):
+    """VERDICT r3 item 5 (sharded half): scaled hierarchical searches
+    must dispatch fused under the mesh, bit-equal to the single-device
+    chain-min step."""
+    from taxor_tpu.device.hixf_search import DeviceHIXF
+    from taxor_tpu.search.thresholds import Thresholder
+
+    index, reads = hier_fmh_index
+    scheme = index.scheme
+    thresholder = Thresholder.make(scheme.kmer_size, scheme.window_size,
+                                   0.04, -1.0, scheme.use_syncmer)
+    assert thresholder.kind == "fracminhash"
+
+    L = pad_len_bucket(max(len(r) for r in reads))
+    packed, lengths = pack_reads(reads, L)
+
+    ref = DeviceHIXF(index.hixf, engine="pallas")
+    ref._interpret = True
+    assert ref.e2e_capable(thresholder)
+    e_res = ref.e2e_async(packed, lengths, scheme, thresholder)()
+    assert len(e_res) == 6  # chain-min mode
+
+    mesh = make_mesh(2, 4)
+    dhixf = DeviceHIXF(index.hixf, mesh=mesh)
+    dhixf._interpret = True
+    assert dhixf.e2e_capable(thresholder)
+    res = dhixf.e2e_async(packed, lengths, scheme, thresholder)()
+    assert len(res) == 6
+
+    for got, want, name in zip(res, e_res,
+                               ("minv", "users", "counts", "n_emit",
+                                "hcap", "sums")):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want),
+                                      err_msg=name)
+
+
 @pytest.fixture(scope="module", params=["kmer", "scaled"])
 def scheme_index(request, tmp_path_factory):
     """Non-default schemes under a mesh: plain k-mers (the reference's
