@@ -183,7 +183,8 @@ def _device_reads_per_s(index, seqs, thresholder, topk=16):
         users_dev = jnp.asarray(dixf.run_users.astype(np.int32))
         kw = dict(k=scheme.kmer_size, s=scheme.syncmer_size,
                   t=scheme.t_syncmer, hcap=hcap, topk=topk,
-                  bin_tile4=choose_bin_tile4(*dixf.fp.shape))
+                  bin_tile4=choose_bin_tile4(*dixf.fp.shape),
+                  use_p10=dixf.p10)
         t = _rolled_timer(
             lambda p, l: fused_e2e_step(
                 dixf.fp, p, l, dixf.run_onehot, users_dev,

@@ -84,46 +84,73 @@ def make_kernel(mode, U, nops=0):
                   & 0xFF) * 0x01010101
             return p0, p1, p2, f4
 
-        if mode == "x2":
-            # two reads per body, 4 hashes each on sublane halves
-            def read_body(rp, _):
-                rA, rB = 2 * rp, 2 * rp + 1
-                nb = cnt_ref[rA, 0, 0]  # equal valid counts by constr.
+        if "x" in mode and mode[-1].isdigit() and mode not in ("p10",
+                                                              "p16"):
+            # NR reads per body, U//NR hashes each, on sublane groups
+            p10 = mode.startswith("p10")
+            NR = int(mode.rsplit("x", 1)[1])
+            HB = U // NR  # hashes per read per body
+            rows_per_body = NR * HB
 
-                def hash_body(hu, packed):
+            def read_body(rp, _):
+                rs = [NR * rp + i for i in range(NR)]
+                nb = cnt_ref[rs[0], 0, 0]  # equal counts by construction
+
+                def hash_body(hu, carry):
+                    packed, d1, d2 = carry
                     rows = []
-                    for u in range(4):
-                        p0, p1, p2, f4 = fetch_p16(rA, hu * 4 + u)
-                        rows.append((fp_ref[p0, :] ^ fp_ref[p1, :]
-                                     ^ fp_ref[p2, :] ^ f4)[None, :])
-                    for u in range(4):
-                        p0, p1, p2, f4 = fetch_p16(rB, hu * 4 + u)
-                        rows.append((fp_ref[p0, :] ^ fp_ref[p1, :]
-                                     ^ fp_ref[p2, :] ^ f4)[None, :])
+                    for r in rs:
+                        fw = [jnp.int32(0)]
+                        for u in range(HB):
+                            h = hu * HB + u
+                            if p10:
+                                if u % 4 == 0:
+                                    fw[0] = pos_ref[r, 0, h >> 2]
+                                p0, p1, p2, f4 = fetch_p10(
+                                    r, h, fw[0], u)
+                            else:
+                                p0, p1, p2, f4 = fetch_p16(r, h)
+                            rows.append((fp_ref[p0, :] ^ fp_ref[p1, :]
+                                         ^ fp_ref[p2, :] ^ f4)[None, :])
                     x = jnp.concatenate(rows, axis=0)
-                    return packed + _swar(x)
+                    if nops:
+                        for i in range(nops * U // 4):
+                            d1 = (d1 ^ x) + jnp.int32(-1640531527)
+                            d2 = (d2 + x) ^ jnp.int32(-2048144789)
+                    return (packed + _swar(x), d1, d2)
 
                 def chunk_body(ci, accs):
-                    aA, aB = accs
+                    parts, d1, d2 = accs
                     lo = ci * FLUSH
                     hi = jnp.minimum(nb, lo + FLUSH)
-                    packed = jax.lax.fori_loop(
-                        lo, hi, hash_body, jnp.zeros((8, BT4), jnp.int32))
-                    pA, pB = packed[:4], packed[4:]
-                    aA = aA + jnp.sum(pA & B0, axis=0) + jnp.sum(
-                        jax.lax.shift_right_logical(pA, 8) & B0, axis=0)
-                    aB = aB + jnp.sum(pB & B0, axis=0) + jnp.sum(
-                        jax.lax.shift_right_logical(pB, 8) & B0, axis=0)
-                    return (aA, aB)
+                    packed, d1, d2 = jax.lax.fori_loop(
+                        lo, hi, hash_body,
+                        (jnp.zeros((rows_per_body, BT4), jnp.int32),
+                         d1, d2))
+                    out = []
+                    for i in range(NR):
+                        p = packed[i * HB : (i + 1) * HB]
+                        out.append(parts[i] + jnp.sum(p & B0, axis=0)
+                                   + jnp.sum(jax.lax.shift_right_logical(
+                                       p, 8) & B0, axis=0))
+                    return (tuple(out), d1, d2)
 
                 zero = jnp.zeros((BT4,), jnp.int32)
+                dz = jnp.zeros((rows_per_body, BT4), jnp.int32)
                 nc = (nb + FLUSH - 1) // FLUSH
-                aA, aB = jax.lax.fori_loop(0, nc, chunk_body, (zero, zero))
-                out_ref[rA, 0, :] = aA
-                out_ref[rB, 0, :] = aB
+                parts, d1, d2 = jax.lax.fori_loop(
+                    0, nc, chunk_body,
+                    (tuple(zero for _ in range(NR)), dz, dz))
+                for i, r in enumerate(rs):
+                    if nops and i == 0:
+                        out_ref[r, 0, :] = parts[i] + jnp.sum(
+                            jax.lax.shift_right_logical(d1 ^ d2, 31),
+                            axis=0)
+                    else:
+                        out_ref[r, 0, :] = parts[i]
                 return 0
 
-            jax.lax.fori_loop(0, RT // 2, read_body, 0)
+            jax.lax.fori_loop(0, RT // NR, read_body, 0)
             return
 
         def read_body(r, _):
@@ -137,7 +164,7 @@ def make_kernel(mode, U, nops=0):
                     h = hu * U + u
                     if mode.startswith("p10"):
                         if u % 4 == 0:
-                            fw[0] = pos_ref[r, 0, 2 * hu + u // 4]
+                            fw[0] = pos_ref[r, 0, (hu * U + u) >> 2]
                         p0, p1, p2, f4 = fetch_p10(r, h, fw[0], u)
                     else:
                         p0, p1, p2, f4 = fetch_p16(r, h)
@@ -296,9 +323,23 @@ def main():
         ("smemflood", 2, 16, d16, 0),
         ("smemflood", 4, 16, d16, 0),
         ("smemflood", 8, 16, d16, 0),
+    ] if "--r1" in sys.argv else [
+        ("p10", 16, 16, d10, 0),   # deeper unroll amortizes loop
+        ("p10x2", 8, 16, d10, 0),  # p10 + two-read interleave
+        ("p10", 8, 16, d10, 2),    # p10 with free-slot vector work
+    ] if "--r2" in sys.argv else [
+        ("p10x2", 8, 16, d10, 0),   # control (7.19 in r2)
+        ("p10x4", 8, 16, d10, 0),   # 4 reads x 2 hashes
+        ("p10x2", 16, 16, d10, 0),  # 2 reads x 8 hashes (2-vreg SWAR)
+        ("p10x2", 8, 16, d10, 2),   # vector-slack under the new floor
+        ("p10x2", 8, 16, d10, 4),
+        ("p16x2", 8, 16, d16, 0),   # re-measure (12.29 in r1)
     ]
     for mode, U, RT, pdat, nops in runs:
-        b = bodies_for(4 if mode == "x2" else U)
+        if "x" in mode and mode[-1].isdigit():
+            b = bodies_for(U // int(mode.rsplit("x", 1)[1]))
+        else:
+            b = bodies_for(U)
         if mode == "smemflood":
             b = jax.device_put(jnp.asarray(
                 np.full((R, 1, 1), nvalid, np.int32)))

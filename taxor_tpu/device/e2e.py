@@ -148,10 +148,18 @@ def make_hixf_e2e_grouped_fn(groups, leaf_users, k: int, s: int, t: int,
                     poscache[g["poskey"]] = cached
             pos_raw, f4i = cached
             S1 = g["fp"].shape[0]
-            pos = jnp.where(valid[..., None], pos_raw, jnp.int32(S1 - 1))
-            counts = _probe_call_chunked(
-                g["fp"], pos, f4i, valid & act_any[:, None], g["bt4"],
-                interpret)
+            if g.get("p10"):
+                from .pallas_probe import _probe_call_chunked_p10
+
+                counts = _probe_call_chunked_p10(
+                    g["fp"], pos_raw, f4i, valid & act_any[:, None],
+                    g["bl"], g["bt4"], interpret)
+            else:
+                pos = jnp.where(valid[..., None], pos_raw,
+                                jnp.int32(S1 - 1))
+                counts = _probe_call_chunked(
+                    g["fp"], pos, f4i, valid & act_any[:, None],
+                    g["bt4"], interpret)
             sums = jnp.dot(
                 counts.astype(jnp.float32), g["onehot"],
                 preferred_element_type=jnp.float32,
@@ -205,7 +213,7 @@ def make_hixf_e2e_grouped_fn(groups, leaf_users, k: int, s: int, t: int,
     jax.jit,
     static_argnames=("k", "s", "t", "hcap", "topk", "bin_tile4",
                      "interpret", "scheme_kind", "window",
-                     "scale_thresh"),
+                     "scale_thresh", "use_p10"),
 )
 def fused_e2e_step(
     fp_packed,  # int32 [S+1, B4] (prepare_fingerprints)
@@ -227,6 +235,7 @@ def fused_e2e_step(
     scheme_kind: str = "syncmer",
     window: int = 0,
     scale_thresh: int = 0,
+    use_p10: bool = False,
 ):
     """Returns packed int32 [R, 2*topk + 2]:
     [:, :topk] descending raw run sums, [:, topk:2*topk] their user bins
@@ -249,11 +258,18 @@ def fused_e2e_step(
     pos, f4 = probe_positions_and_fprint4(hi, lo, seed_hi, seed_lo,
                                           block_length)
     S1 = fp_packed.shape[0]
-    pos = jnp.where(valid[..., None], pos, jnp.int32(S1 - 1))
     f4 = jnp.where(valid, f4, jnp.uint32(0x01010101))
     f4i = jax.lax.bitcast_convert_type(f4, jnp.int32)
-    counts = _probe_call_chunked(fp_packed, pos, f4i, valid, bin_tile4,
-                                 interpret)
+    if use_p10:  # block-padded table + the p10x2 kernel (pallas_probe)
+        from .pallas_probe import _probe_call_chunked_p10
+
+        counts = _probe_call_chunked_p10(fp_packed, pos, f4i, valid,
+                                         block_length, bin_tile4,
+                                         interpret)
+    else:
+        pos = jnp.where(valid[..., None], pos, jnp.int32(S1 - 1))
+        counts = _probe_call_chunked(fp_packed, pos, f4i, valid,
+                                     bin_tile4, interpret)
     # HIGHEST precision is REQUIRED for exactness: the TPU MXU's default
     # f32 matmul truncates operands to bf16 (8 mantissa bits), silently
     # rounding any per-bin count > 256 — plain-k-mer reads carry ~1000

@@ -37,6 +37,8 @@ class _DeviceIXF:
     run_users: np.ndarray  # int64 [n_runs], -1 for merged runs
     run_children: np.ndarray  # int64 [n_runs], child ixf id for merged runs
     engine: str = "xla"  # 'xla' | 'pallas'
+    # block-padded p10x2 table (pallas_probe.prepare_fingerprints_p10)
+    p10: bool = False
     # traced geometry scalars for the fused device step
     seed_hi: jax.Array | None = None
     seed_lo: jax.Array | None = None
@@ -86,7 +88,10 @@ class DeviceHIXF:
         run-sum matmul becomes an ICI reduce).  GSPMD requires the XLA
         engine for now (the Pallas kernel runs per-chip under shard_map in
         a later iteration)."""
-        from .pallas_probe import choose_bin_tile4, prepare_fingerprints
+        from .pallas_probe import (USE_P10X2, _WIDE_MIN_B4,
+                                   choose_bin_tile4, p10_eligible,
+                                   prepare_fingerprints,
+                                   prepare_fingerprints_p10)
 
         self.mesh = mesh
         if mesh is not None:
@@ -100,8 +105,18 @@ class DeviceHIXF:
         for i, ixf in enumerate(hixf.ixfs):
             starts, ends, users = hixf.runs_of_ixf(i)
             ixf_engine = engine
+            ixf_p10 = False
             if ixf_engine == "pallas":
                 packed = prepare_fingerprints(ixf.fingerprints)
+                # narrow tables with small blocks take the p10x2 kernel
+                # (7.2 ns/hash vs 12.9, see pallas_probe); wide tables
+                # keep the rotate-free wide kernel
+                if (USE_P10X2 and mesh is None
+                        and p10_eligible(ixf.block_length)
+                        and packed.shape[1] < _WIDE_MIN_B4):
+                    packed = prepare_fingerprints_p10(
+                        ixf.fingerprints, ixf.block_length)
+                    ixf_p10 = True
                 if choose_bin_tile4(*packed.shape) is None:
                     ixf_engine = "xla"  # exceeds VMEM; gather fallback
                 else:
@@ -143,6 +158,7 @@ class DeviceHIXF:
                     run_users=users,
                     run_children=children,
                     engine=ixf_engine,
+                    p10=ixf_p10,
                     seed_hi=jnp.uint32(ixf.seed >> 32),
                     seed_lo=jnp.uint32(ixf.seed & 0xFFFFFFFF),
                     bl_u32=jnp.uint32(ixf.block_length),
@@ -234,6 +250,7 @@ class DeviceHIXF:
             dixf.seed_lo,
             dixf.bl_u32,
             bin_tile4=choose_bin_tile4(*dixf.fp.shape),
+            use_p10=dixf.p10,
         )
         packed_dev = finalize_topk(sums_dev, jnp.asarray(thr),
                                    run_users_dev, k)
@@ -500,7 +517,7 @@ class DeviceHIXF:
                                        prepare_fingerprints)
 
             host_groups, leaf_users = self._build_probe_groups(
-                max_group_b4=128)
+                max_group_b4=128, p10_ok=True)
             groups = []
             for g in host_groups:
                 groups.append(dict(
@@ -510,6 +527,7 @@ class DeviceHIXF:
                     seed_lo=jnp.uint32(g["seed"] & 0xFFFFFFFF),
                     bl=jnp.uint32(g["bl"]),
                     poskey=g["poskey"],
+                    p10=g.get("p10", False),
                     bt4=choose_bin_tile4(*g["fp"].shape),
                     members=[(m[0], m[1], m[2], m[3], jnp.asarray(m[4]))
                              for m in g["members"]],
@@ -528,7 +546,8 @@ class DeviceHIXF:
         return cache[key]
 
     def _build_probe_groups(self, col_multiple: int | None = None,
-                            max_group_b4: int | None = None):
+                            max_group_b4: int | None = None,
+                            p10_ok: bool = False):
         """Assemble the level-grouped probe structure on the host.
 
         Groups IXFs by (depth, seed, block_length); members pack tightly
@@ -553,7 +572,9 @@ class DeviceHIXF:
         seed, bl, poskey, members [(bfs_pos, run_off, n_runs,
         children [(local_run, child_bfs_pos)], leaf_sel int32)].
         """
-        from .pallas_probe import prepare_fingerprints
+        from .pallas_probe import (USE_P10X2, p10_eligible,
+                                   prepare_fingerprints,
+                                   prepare_fingerprints_p10)
 
         bfs_pos = {ixf_id: p for p, ixf_id in enumerate(self.bfs_order)}
         depths = self._depths()
@@ -599,11 +620,19 @@ class DeviceHIXF:
             onehot_parts = []
             run_off = 0
             b4_off = 0
+            # all group members share block_length (uniform level
+            # geometry); small-block groups take the p10x2 kernel with
+            # block-padded member tables (pallas_probe)
+            g_p10 = bool(p10_ok and USE_P10X2 and p10_eligible(gk[2]))
             for i in group_members[gk]:
                 ixf = self.hixf.ixfs[i]
                 d = self.ixfs[i]
-                fp = prepare_fingerprints(ixf.fingerprints, lane=4,
-                                          sentinel=False)
+                if g_p10:
+                    fp = prepare_fingerprints_p10(ixf.fingerprints,
+                                                  gk[2], lane=4)
+                else:
+                    fp = prepare_fingerprints(ixf.fingerprints, lane=4,
+                                              sentinel=False)
                 fp_parts.append(fp)
                 starts, ends, users = self.hixf.runs_of_ixf(i)
                 n_runs = starts.shape[0]
@@ -637,8 +666,10 @@ class DeviceHIXF:
                 target = (-(-b4 // 1024) * 1024 if b4 > 384
                           else -(-b4 // 128) * 128)
             fp_group = np.pad(fp_group, ((0, 0), (0, target - b4)))
-            fp_group = np.vstack([
-                fp_group, np.zeros((1, fp_group.shape[1]), np.int32)])
+            if not g_p10:  # p10 tables carry the sentinel zone in-block
+                fp_group = np.vstack([
+                    fp_group,
+                    np.zeros((1, fp_group.shape[1]), np.int32)])
             B4g = fp_group.shape[1]
             onehot = np.zeros((4 * B4g, run_off), dtype=np.float32)
             roff = 0
@@ -649,7 +680,7 @@ class DeviceHIXF:
                 roff += n_runs
             groups.append(dict(
                 fp=fp_group, onehot=onehot, seed=gk[1], bl=gk[2],
-                poskey=(gk[1], gk[2]), members=members_meta,
+                poskey=(gk[1], gk[2]), members=members_meta, p10=g_p10,
             ))
         leaf_users = np.concatenate(leaf_users_parts)
         return groups, leaf_users
@@ -741,6 +772,7 @@ class DeviceHIXF:
             window=scheme.window_size,
             scale_thresh=_scale_thresh(scheme),
             interpret=getattr(self, "_interpret", False),
+            use_p10=dixf.p10,
         )
         try:
             packed_dev.copy_to_host_async()
@@ -791,6 +823,7 @@ class DeviceHIXF:
                 dixf.seed_lo,
                 dixf.bl_u32,
                 bin_tile4=choose_bin_tile4(*dixf.fp.shape),
+                use_p10=dixf.p10,
             )
 
             def collect():
@@ -870,6 +903,7 @@ class DeviceHIXF:
                     dixf.run_onehot, dixf.seed_hi, dixf.seed_lo,
                     dixf.bl_u32,
                     bin_tile4=choose_bin_tile4(*dixf.fp.shape),
+                    use_p10=dixf.p10,
                 )
             else:
                 pos, fpr, _ = compute_probes(

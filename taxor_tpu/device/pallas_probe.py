@@ -329,6 +329,224 @@ def _probe_call_wide_p16(fp_packed, posp, bodies, bin_tile4, interpret):
 
 
 # ---------------------------------------------------------------------- #
+# p10x2 kernel: block-relative 10-bit offsets, two reads interleaved
+# ---------------------------------------------------------------------- #
+# Round-4 measurements (bench_probe_r4.py, real v5e, production shape):
+# the p16 kernel's 12.9 ns/hash floor is NOT pure issue cost — it holds
+# load-to-use stalls that two structural changes remove TOGETHER:
+#
+#   1. p10: all three probe positions are BLOCK-relative (p_i lives in
+#      block i of length bl, xorfilter.hpp:67-68), so for bl <= 1023
+#      they pack 10+10+10 bits into ONE SMEM word; fingerprint bytes of
+#      4 consecutive hashes share a second word (1.25 SMEM reads/hash
+#      vs p16's 2).  Alone: 12.9 -> 12.2 (ALU eats the saved reads).
+#   2. x2: each loop body processes 4 hashes of TWO reads on separate
+#      sublane halves of one [8, 128] vreg — two fully independent
+#      metadata chains fill each other's stalls.  Alone (with p16
+#      words): 12.9 -> 12.3.
+#
+# Together: 12.9 -> 7.2 ns/hash (1.8x) — the independent chains can
+# only be scheduled into the stall slots once the SMEM pressure drops.
+#
+# Sentinel without a reserved row index: the table repacks as 3 blocks
+# of _P10_BLPAD=1024 rows (real rows 0..bl-1, zero padding above), so
+# offset 1023 points at a guaranteed-zero row in every block; invalid
+# hashes get offsets (1023,1023,1023) + the poison fingerprint byte 1
+# and can sit ANYWHERE in the hash list at zero per-hash masking cost.
+
+USE_P10X2 = True
+_P10_BLPAD = 1024
+_P10_MAX_BL = 1023
+_P10_HB = 4   # hashes per read per body
+_P10_NR = 2   # reads interleaved per body
+
+
+def p10_eligible(block_length: int) -> bool:
+    """bl <= 1023 covers bins up to ~2500 elements (speed.capacity:
+    3*bl ~= 1.23n); larger bins fall back to the p16 kernels."""
+    return 0 < block_length <= _P10_MAX_BL
+
+
+def prepare_fingerprints_p10(fingerprints: np.ndarray,
+                             block_length: int,
+                             lane: int = 4 * _LANE) -> np.ndarray:
+    """uint8 [3*bl, B] -> packed int32 [3*_P10_BLPAD, Bpad/4] with each
+    probe block padded to _P10_BLPAD rows (padding rows zero — the
+    offset-1023 sentinel zone).  Same 4-bins-per-word byte packing as
+    prepare_fingerprints."""
+    from .probe import pad_fingerprints
+
+    bl = block_length
+    assert p10_eligible(bl)
+    fp = pad_fingerprints(fingerprints, lane=lane)
+    out = np.zeros((3 * _P10_BLPAD, fp.shape[1]), dtype=np.uint8)
+    for b in range(3):
+        out[b * _P10_BLPAD : b * _P10_BLPAD + bl] = \
+            fp[b * bl : (b + 1) * bl]
+    return np.ascontiguousarray(out).view(np.int32)
+
+
+def _pack_pos10(pos, f4i, valid, bl):
+    """Absolute positions int32 [R, H, 3] + replicated-byte fingerprints
+    [R, H] + validity -> packed int32 [R, H/4 + H]:
+    [f-words (4 hashes/word, low byte first) | offset words].  bl may be
+    a traced scalar.  Invalid hashes become (1023,1023,1023) offsets +
+    poison byte 1."""
+    bl = bl.astype(jnp.int32) if hasattr(bl, "astype") else jnp.int32(bl)
+    R, H, _ = pos.shape
+    o0 = pos[..., 0]
+    o1 = pos[..., 1] - bl
+    o2 = pos[..., 2] - 2 * bl
+    w = o0 | (o1 << 10) | (o2 << 20)
+    w = jnp.where(valid, w, jnp.int32(1023 | (1023 << 10) | (1023 << 20)))
+    fb = jnp.where(valid, f4i & 0xFF, jnp.int32(1))
+    fb4 = fb.reshape(R, H // 4, 4)
+    fw = (fb4[..., 0] | (fb4[..., 1] << 8) | (fb4[..., 2] << 16)
+          | (fb4[..., 3] << 24))
+    return jnp.concatenate([fw, w], axis=1)
+
+
+def _body_counts_pairmax(mask, hb: int = _P10_HB, nr: int = _P10_NR):
+    """ceil(valid_prefix/hb) bodies per read, maximized over each group
+    of nr interleaved reads (the pair shares one trip count; the shorter
+    read's extra slots are offset-1023 sentinel probes)."""
+    b = _body_counts(mask, hb)[:, 0, 0]  # [R]
+    R = b.shape[0]
+    g = b.reshape(R // nr, nr).max(axis=1)
+    return jnp.repeat(g, nr)[:, None, None].astype(jnp.int32)
+
+
+def _kernel_p10x2(pos_ref, cnt_ref, fp_ref, out_ref):
+    """One (bin_tile, read_pair_tile) grid cell.
+
+    pos_ref: int32 [RT, 1, H/4 + H] (SMEM) _pack_pos10 layout
+    cnt_ref: int32 [RT, 1, 1]      (SMEM) pair-max bodies
+    fp_ref:  int32 [3*1024, BT4]   (VMEM) block-padded packed table
+    out_ref: int32 [RT, 4, BT4]
+    """
+    RT = pos_ref.shape[0]
+    BT4 = out_ref.shape[2]
+    H2 = pos_ref.shape[2]
+    Hf = H2 // 5  # f-words region length (H/4)
+    NR, HB = _P10_NR, _P10_HB
+
+    def fetch(r, h, fw, u):
+        w = pos_ref[r, 0, Hf + h]
+        p0 = w & 1023
+        p1 = _P10_BLPAD + (jax.lax.shift_right_logical(w, 10) & 1023)
+        p2 = 2 * _P10_BLPAD + jax.lax.shift_right_logical(w, 20)
+        f4 = (jax.lax.shift_right_logical(fw, 8 * (u & 3))
+              & 0xFF) * 0x01010101
+        return p0, p1, p2, f4
+
+    def read_body(rp, _):
+        rs = [NR * rp + i for i in range(NR)]
+        nb = cnt_ref[rs[0], 0, 0]
+
+        def hash_body(hu, packed):
+            rows = []
+            for r in rs:
+                fw = [jnp.int32(0)]
+                for u in range(HB):
+                    h = hu * HB + u
+                    if u % 4 == 0:
+                        fw[0] = pos_ref[r, 0, h >> 2]
+                    p0, p1, p2, f4 = fetch(r, h, fw[0], u)
+                    rows.append(
+                        (fp_ref[p0, :] ^ fp_ref[p1, :] ^ fp_ref[p2, :]
+                         ^ f4)[None, :])
+            x = jnp.concatenate(rows, axis=0)  # [NR*HB, BT4]
+            nz = ((x & _LOW7) + _LOW7) | x
+            hits = jax.lax.shift_right_logical((~nz) & _SIGN, 7)
+            return packed + hits
+
+        def chunk_body(ci, accs):
+            lo = ci * _FLUSH_BODIES
+            hi = jnp.minimum(nb, lo + _FLUSH_BODIES)
+            packed = jax.lax.fori_loop(
+                lo, hi, hash_body,
+                jnp.zeros((NR * HB, BT4), jnp.int32))
+            out = []
+            for i in range(NR):
+                a0, a1, a2, a3 = accs[i]
+                p = packed[i * HB : (i + 1) * HB]
+                a0 = a0 + jnp.sum(p & _B0, axis=0)
+                a1 = a1 + jnp.sum(
+                    jax.lax.shift_right_logical(p, 8) & _B0, axis=0)
+                a2 = a2 + jnp.sum(
+                    jax.lax.shift_right_logical(p, 16) & _B0, axis=0)
+                a3 = a3 + jnp.sum(
+                    jax.lax.shift_right_logical(p, 24), axis=0)
+                out.append((a0, a1, a2, a3))
+            return tuple(out)
+
+        zero = jnp.zeros((BT4,), jnp.int32)
+        nc = (nb + _FLUSH_BODIES - 1) // _FLUSH_BODIES
+        accs = jax.lax.fori_loop(
+            0, nc, chunk_body,
+            tuple((zero, zero, zero, zero) for _ in range(NR)))
+        for i, r in enumerate(rs):
+            a0, a1, a2, a3 = accs[i]
+            out_ref[r, 0, :] = a0
+            out_ref[r, 1, :] = a1
+            out_ref[r, 2, :] = a2
+            out_ref[r, 3, :] = a3
+        return 0
+
+    jax.lax.fori_loop(0, RT // NR, read_body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("bin_tile4", "interpret"))
+def _probe_call_p10x2(fp_p10, posp, bodies, bin_tile4, interpret):
+    """posp int32 [R, 1, H/4 + H] (_pack_pos10), bodies pair-maxed."""
+    R, _, H2 = posp.shape
+    S1, B4 = fp_p10.shape
+    RT = _READ_TILE
+    grid = (B4 // bin_tile4, R // RT)
+    out = pl.pallas_call(
+        _kernel_p10x2,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((RT, 1, H2), lambda j, r: (r, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((RT, 1, 1), lambda j, r: (r, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((S1, bin_tile4), lambda j, r: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((RT, 4, bin_tile4), lambda j, r: (r, 0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((R, 4, B4), jnp.int32),
+        interpret=interpret,
+    )(posp, bodies, fp_p10)
+    return jnp.moveaxis(out, 1, 2).reshape(R, 4 * B4)
+
+
+def _probe_call_chunked_p10(fp_p10, pos, f4i, valid, bl, bin_tile4,
+                            interpret):
+    """p10x2 probe for arbitrary hash widths; same contract as
+    _probe_call_chunked but takes RAW absolute positions + the (possibly
+    traced) block length, and fp_p10 from prepare_fingerprints_p10."""
+    R, H, _ = pos.shape
+    if H <= _H_CHUNK:
+        posp = _pack_pos10(pos, f4i, valid, bl).reshape(R, 1, -1)
+        return _probe_call_p10x2(fp_p10, posp,
+                                 _body_counts_pairmax(valid),
+                                 bin_tile4, interpret)
+    assert H % _H_CHUNK == 0
+    nc = H // _H_CHUNK
+    parts = []
+    for c in range(nc):
+        sl = slice(c * _H_CHUNK, (c + 1) * _H_CHUNK)
+        posp = _pack_pos10(pos[:, sl], f4i[:, sl], valid[:, sl],
+                           bl).reshape(R, 1, -1)
+        parts.append(_probe_call_p10x2(
+            fp_p10, posp, _body_counts_pairmax(valid[:, sl]),
+            bin_tile4, interpret))
+    return sum(parts[1:], parts[0])
+
+
+# ---------------------------------------------------------------------- #
 # replicated-row kernel: bins <= 512 (B4 <= 128, one vreg per row)
 # ---------------------------------------------------------------------- #
 # The sublane kernel above pays a dynamic sublane load + rotate for every
@@ -720,9 +938,10 @@ def pack_hash_lists(hash_lists, Hpad: int, read_tile: int = _READ_TILE
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("bin_tile4", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("bin_tile4", "interpret", "use_p10"))
 def fused_probe_step(
-    fp_packed,  # int32 [S+1, B4]
+    fp_packed,  # int32 [S+1, B4] (or [3*1024, B4] p10 table)
     batch,  # uint32 [R, 3H]: [h_hi | h_lo | mask] (pack_batch)
     active,  # bool [R]    active-read mask (frontier descent)
     onehot,  # float32 [4*B4, n_runs]
@@ -731,11 +950,14 @@ def fused_probe_step(
     block_length,  # uint32 scalar
     bin_tile4: int,
     interpret: bool = False,
+    use_p10: bool = False,
 ):
     """Whole per-IXF search step on device: murmur mix + probe positions
     (32-bit pair math), Pallas probe/count, run segmentation matmul.
     Geometry scalars are traced, so one compilation covers every IXF that
-    shares (R, H, S+1, B4) shapes.  Returns int32 [R, n_runs] run sums."""
+    shares (R, H, S+1, B4) shapes.  use_p10 (static): fp_packed is the
+    block-padded prepare_fingerprints_p10 table and the p10x2 kernel
+    runs.  Returns int32 [R, n_runs] run sums."""
     from ..utils.u64jnp import probe_positions_and_fprint4
 
     R = batch.shape[0]
@@ -747,14 +969,19 @@ def fused_probe_step(
     pos, f4 = probe_positions_and_fprint4(h_hi, h_lo, seed_hi, seed_lo,
                                           block_length)
     mask = mask & active[:, None]
-    sentinel = jnp.int32(S1 - 1)
-    pos = jnp.where(mask[..., None], pos, sentinel)
     # the no-hit fingerprint must poison ALL 4 byte lanes of the packed
     # word (a bare 1 would leave lanes 1-3 matching the zero sentinel row)
     f4 = jnp.where(mask, f4, jnp.uint32(0x01010101))
     f4i = jax.lax.bitcast_convert_type(f4, jnp.int32)
-    counts = _probe_call_chunked(fp_packed, pos, f4i, mask, bin_tile4,
-                                 interpret)
+    if use_p10:
+        counts = _probe_call_chunked_p10(fp_packed, pos, f4i, mask,
+                                         block_length, bin_tile4,
+                                         interpret)
+    else:
+        sentinel = jnp.int32(S1 - 1)
+        pos = jnp.where(mask[..., None], pos, sentinel)
+        counts = _probe_call_chunked(fp_packed, pos, f4i, mask, bin_tile4,
+                                     interpret)
     return jnp.dot(
         counts.astype(jnp.float32), onehot,
         preferred_element_type=jnp.float32,
