@@ -87,14 +87,15 @@ def build_problem(n_species=256, genome_len=20000, n_reads=8192,
     return tmp, tsv, gdir, reads
 
 
-def _build_index(tsv, gdir, layout_mode="flat", tmax=0, threads=8):
+def _build_index(tsv, gdir, layout_mode="flat", tmax=0, threads=8,
+                 layout_cost="cpu"):
     from taxor_tpu.apps.build import BuildConfig, run_build
 
     return run_build(BuildConfig(
         input_file=tsv, input_sequence_dir=gdir, output_filename="",
         kmer_size=22, syncmer_size=12, use_syncmer=True,
         layout_mode=layout_mode, tmax=tmax, layout_file="",
-        threads=threads,
+        threads=threads, layout_cost=layout_cost,
     ))
 
 
@@ -198,13 +199,46 @@ def _device_reads_per_s(index, seqs, thresholder, topk=16):
     return R / t, t, fb_frac, classified, dhixf
 
 
+def _mixed_length_reads(tmp, seed=17):
+    """Rewrite a read file with mixed 500 b .. 4 kb reads drawn from the
+    parity genomes — exercises multiple (R, L) kernel buckets, including
+    the sub-vreg (< 2048 b) shapes that miscompiled in round 3."""
+    import os
+
+    rng = np.random.default_rng(seed)
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "tests"))
+    from util import make_reads, make_ref_set
+
+    tsv, gdir, genomes = make_ref_set(tmp, rng, n_species=96,
+                                      genome_len=9000)
+    out = os.path.join(tmp, "mixed.fastq")
+    with open(out, "w") as fh:
+        accs = sorted(genomes)
+        for i in range(192):
+            acc = accs[int(rng.integers(0, len(accs)))]
+            g = genomes[acc]
+            ln = int(rng.choice([500, 900, 1700, 3100, 4000]))
+            ln = min(ln, len(g) - 1)
+            off = int(rng.integers(0, len(g) - ln))
+            seq = bytearray(g[off : off + ln])
+            nerr = int(ln * 0.02)
+            for p in rng.integers(0, ln, nerr):
+                seq[p] = b"ACGT"[int(rng.integers(0, 4))]
+            fh.write(f"@r{i}_{acc}\n{seq.decode()}\n+\n{'I' * ln}\n")
+    return tsv, gdir, out
+
+
 def parity_gate():
-    """Real-backend output-parity gate: for each scheme family, run one
-    small search twice — device engine (fused Pallas path, non-interpret
-    on TPU) vs host engine (numpy oracle) — and diff the TSV
-    byte-for-byte.  Returns {scheme_name: bool}; any False fails bench
-    with exit code 1 (after the JSON line is printed)."""
+    """Real-backend output-parity gate: for each scheme/layout family,
+    run one small search twice — device engine (fused Pallas path,
+    non-interpret on TPU) vs host engine (numpy oracle) — and diff the
+    TSV byte-for-byte.  Covers flat + HIERARCHICAL (the grouped descent
+    kernels), scaled, and mixed 500 b..4 kb read-length buckets
+    (VERDICT r3 weak #2).  Returns {scheme_name: bool}; any False fails
+    bench with exit code 1 (after the JSON line is printed)."""
     import io
+    import os
 
     from taxor_tpu.apps.build import BuildConfig, run_build
     from taxor_tpu.device.hixf_search import DeviceHIXF
@@ -212,26 +246,49 @@ def parity_gate():
 
     tmp, tsv, gdir, reads_file = build_problem(
         n_species=32, genome_len=8000, n_reads=256, read_len=1000, seed=7)
+    # a second reference set (> 64 species so the tmax sweep goes
+    # hierarchical) with mixed-length reads
+    import tempfile
+
+    tmp2 = tempfile.mkdtemp(prefix="taxor_parity_hier_")
+    tsv2, gdir2, mixed_reads = _mixed_length_reads(tmp2)
     results = {}
-    for name, kw in (
-        ("syncmer", dict(kmer_size=22, syncmer_size=12, use_syncmer=True)),
-        ("plain_kmer", dict(kmer_size=20, syncmer_size=10,
-                            use_syncmer=False)),
-        ("scaled_kmer", dict(kmer_size=20, syncmer_size=10,
-                             use_syncmer=False, scaling=4)),
+    for name, layout, src, kw in (
+        ("syncmer", "flat", 0,
+         dict(kmer_size=22, syncmer_size=12, use_syncmer=True)),
+        ("plain_kmer", "flat", 0,
+         dict(kmer_size=20, syncmer_size=10, use_syncmer=False)),
+        ("scaled_kmer", "flat", 0,
+         dict(kmer_size=20, syncmer_size=10, use_syncmer=False,
+              scaling=4)),
+        ("hier_syncmer_mixedlen", "auto", 1,
+         dict(kmer_size=22, syncmer_size=12, use_syncmer=True)),
+        ("hier_scaled_minimizer", "auto", 1,
+         dict(kmer_size=20, syncmer_size=10, window_size=26,
+              use_syncmer=False, scaling=3)),
     ):
         if budget_left() < 90:
             results[name] = None  # skipped: budget
             log(f"bench[parity]: skipping {name} (budget exhausted)")
             continue
+        b_tsv, b_gdir = (tsv, gdir) if src == 0 else (tsv2, gdir2)
         index = run_build(BuildConfig(
-            input_file=tsv, input_sequence_dir=gdir, output_filename="",
-            layout_mode="flat", layout_file="", threads=8, **kw))
+            input_file=b_tsv, input_sequence_dir=b_gdir,
+            output_filename="", layout_mode=layout,
+            tmax=64 if layout == "auto" else 0,
+            layout_file=(os.path.join(tmp2, f"{name}.out")
+                         if layout == "auto" else ""),
+            threads=8, **kw))
+        if layout == "auto" and len(index.hixf.ixfs) < 2:
+            results[name] = False
+            log(f"bench[parity]: {name}: expected hierarchical layout")
+            continue
+        q_reads = reads_file if src == 0 else mixed_reads
         texts = {}
         for engine in ("device", "host"):
             buf = io.StringIO()
             dhixf = DeviceHIXF(index.hixf) if engine == "device" else None
-            search_single(index, reads_file, buf,
+            search_single(index, q_reads, buf,
                           SearchConfig(engine=engine, batch_size=256),
                           dhixf)
             texts[engine] = buf.getvalue()
@@ -250,7 +307,7 @@ def parity_gate():
 
 def bench_config(name, *, n_species, genome_len, n_reads, read_len,
                  layout_mode="flat", tmax=0, mutate=0.0, topk=16,
-                 baseline_sub=None, seed=0):
+                 baseline_sub=None, seed=0, layout_cost="cpu"):
     from taxor_tpu.io.fastx import read_all
     from taxor_tpu.search.thresholds import Thresholder
 
@@ -258,7 +315,8 @@ def bench_config(name, *, n_species, genome_len, n_reads, read_len,
     tmp, tsv, gdir, reads_file = build_problem(
         n_species=n_species, genome_len=genome_len, n_reads=n_reads,
         read_len=read_len, seed=seed, mutate_from_first=mutate)
-    index = _build_index(tsv, gdir, layout_mode=layout_mode, tmax=tmax)
+    index = _build_index(tsv, gdir, layout_mode=layout_mode, tmax=tmax,
+                         layout_cost=layout_cost)
     t_build = time.perf_counter() - t0
     seqs = [r.seq for r in read_all(reads_file)]
     scheme = index.scheme
@@ -348,6 +406,14 @@ def main():
         dict(name="hier_1024", n_species=1024, genome_len=5000,
              n_reads=2048, read_len=2000, layout_mode="auto", tmax=64,
              baseline_sub=512),
+        # same reference set scored with the DEVICE layout cost model:
+        # one VMEM tile holds all 1024 bins, so the DP chooses FLAT (one
+        # probe pass) — the tpu-first answer to the hier_1024 workload.
+        # The baseline is the same 32x CPU proxy searching the layout IT
+        # would build (the hierarchical one is the CPU's optimum).
+        dict(name="device_layout_1024", n_species=1024, genome_len=5000,
+             n_reads=2048, read_len=2000, layout_mode="auto", tmax=64,
+             layout_cost="device", baseline_sub=512),
         dict(name="stress_identical", n_species=64, genome_len=20000,
              n_reads=1024, read_len=2000, mutate=0.005,
              baseline_sub=256),

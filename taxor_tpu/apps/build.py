@@ -38,6 +38,10 @@ class BuildConfig:
     threads: int = 1
     use_syncmer: bool = False
     layout_mode: str = "auto"  # 'auto' (DP) | 'flat'
+    # layout scoring: 'cpu' = reference-style expected-HIBF-query-cost;
+    # 'device' = TPU probe-pass model (hixf/binning.py
+    # _expected_query_cost_device), which also considers a flat layout
+    layout_cost: str = "cpu"
     layout_file: str = "binning.out"
     tmax: int = 4096
     spill_dir: str = ""  # bound peak RSS via on-disk hash files
@@ -109,7 +113,8 @@ def make_layout(
     return compute_layout_from_hashes(
         file_hashes, clusters, tmax=config.tmax,
         verbose=config.verbose_stats,
-        artifacts_prefix=config.count_output_prefix)
+        artifacts_prefix=config.count_output_prefix,
+        cost_model=config.layout_cost)
 
 
 def run_build(config: BuildConfig) -> TaxorIndex:

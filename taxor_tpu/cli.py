@@ -51,6 +51,12 @@ def _add_build(sub):
     p.add_argument("--use-syncmer", action="store_true")
     p.add_argument("--layout", default="auto", choices=["auto", "flat"],
                    help="layout algorithm (auto = hierarchical DP)")
+    p.add_argument("--layout-cost", default="cpu",
+                   choices=["cpu", "device"],
+                   help="layout scoring model: cpu = reference-style "
+                        "expected query cost; device = TPU probe-pass "
+                        "model (may choose a flat layout where one "
+                        "VMEM-resident pass beats any tree)")
     p.add_argument("--tmax", type=int, default=4096)
     p.add_argument("--spill-dir", default="",
                    help="spill per-genome hash sets to this directory to "
@@ -157,6 +163,7 @@ def main(argv: list[str] | None = None) -> int:
                 threads=args.threads,
                 use_syncmer=args.use_syncmer,
                 layout_mode=args.layout,
+                layout_cost=args.layout_cost,
                 tmax=args.tmax,
                 spill_dir=args.spill_dir,
                 verbose_stats=args.output_verbose_statistics,

@@ -206,6 +206,8 @@ def _build_node(bins: list[_Bin], tmax: int) -> LayoutNode:
     node.max_bin_index = (
         max(bin_sizes, key=lambda t: t[1])[0] if bin_sizes else 0
     )
+    # estimated max bin cardinality -> IXF geometry for the device cost
+    node.est_max_card = max((sz for _, sz in bin_sizes), default=1.0)
     return node
 
 
@@ -230,6 +232,51 @@ def _expected_query_cost(node: LayoutNode, c0: float = 1.0) -> float:
     return cost(node, 0.0) / max(1, count_leaves(node))
 
 
+def _expected_query_cost_device(node: LayoutNode) -> float:
+    """Expected per-read probe cost under the TPU engine, in units of
+    one narrow VMEM probe pass.
+
+    The device probe is SCALAR-ISSUE bound (~7 ns/hash, pallas_probe
+    p10x2): per level a read pays the column-tile count of the
+    fingerprint block it must touch, NOT the per-bin byte count the CPU
+    model rewards.  Pruning therefore only helps once a level's block
+    exceeds one VMEM tile: at the root every read is active in every
+    subgroup (full width); a descended child costs one 512-bin subgroup
+    of its level.  This flips the layout choice for mid-size references
+    — a few thousand bins fit ONE VMEM tile, where flat (one pass) beats
+    any tree (>= 2 passes) — while at GTDB scale deep trees win again.
+    """
+    from ..ixf.xor_filter import ixf_geometry
+
+    TILE = 7 * 2 ** 20  # scoped-VMEM budget per block (pallas_probe)
+    C0 = 0.25           # launch/metadata overhead per level, in passes
+
+    def tiles(n: LayoutNode, is_root: bool) -> float:
+        card = max(1.0, float(getattr(n, "est_max_card", 1.0)))
+        _, slots = ixf_geometry(int(math.ceil(card)))
+        s1 = max(3 * 1024, slots)  # p10 block padding floor
+        bins_pad = max(512, -(-n.num_technical_bins // 512) * 512)
+        width = bins_pad if is_root else min(512, bins_pad)
+        return max(1.0, (s1 * width) / TILE)
+
+    def count_leaves(n: LayoutNode) -> int:
+        return len(n.records) + sum(
+            count_leaves(ch) for ch in n.children.values()
+        )
+
+    def cost(n: LayoutNode, path_cost: float, is_root: bool) -> float:
+        here = path_cost + C0 + tiles(n, is_root)
+        total_c = len(n.records) * here
+        for ch in n.children.values():
+            total_c += cost(ch, here, False)
+        return total_c
+
+    return cost(node, 0.0, True) / max(1, count_leaves(node))
+
+
+_REARRANGE_BLOCK = 8192
+
+
 def rearrange_bins(entries: list[_Bin]) -> list[_Bin]:
     """Similarity-based reordering — the analog of chopper's
     ``rearrange_user_bins`` + ``estimate_union`` (enabled by the reference
@@ -242,6 +289,16 @@ def rearrange_bins(entries: list[_Bin]) -> list[_Bin]:
     n = len(entries)
     if n <= 2:
         return entries
+    if n > _REARRANGE_BLOCK:
+        # the greedy chain is O(n^2 * m) on HLL registers (m = 4096) —
+        # ~2.5e12 element ops at 25k bins.  At GTDB scale chopper itself
+        # clusters within sorted intervals; chain within bounded blocks
+        # of the cardinality-sorted order instead (O(n * B * m)), which
+        # keeps similar-size genomes adjacent and bounds build time.
+        out: list[_Bin] = []
+        for off in range(0, n, _REARRANGE_BLOCK):
+            out.extend(rearrange_bins(entries[off : off + _REARRANGE_BLOCK]))
+        return out
     ests = np.array(
         [_estimate_from_registers(b.sketch.registers) for b in entries]
     )
@@ -276,6 +333,7 @@ def compute_layout_from_hashes(
     tmax: int = 4096,
     verbose: bool = False,
     artifacts_prefix: str = "",
+    cost_model: str = "cpu",
 ) -> LayoutNode:
     """Layout for accession clusters given precomputed per-file hash sets.
     Runs the reference's t_max sweep (taxor_build.cpp:173-228): powers of
@@ -286,6 +344,11 @@ def compute_layout_from_hashes(
     verbose: print the per-tmax cost summary, the analog of chopper's
     hibf_statistics::print_summary behind --output-verbose-statistics
     (taxor_build.cpp:213).
+    cost_model: 'cpu' scores candidate layouts with the reference-style
+    expected-HIBF-query-cost proxy; 'device' scores them with the TPU
+    probe-pass model (_expected_query_cost_device) and additionally
+    considers a FLAT layout — on the device a single-VMEM-tile flat
+    index beats any tree, which the CPU model can never discover.
     artifacts_prefix: emit the counting-stage artifacts the reference
     leaves behind (taxor_build.cpp:437-442): <prefix>.count (one line per
     cluster: files;...<TAB>estimate<TAB>accession) and
@@ -340,12 +403,30 @@ def compute_layout_from_hashes(
     )
     candidates = [t for t in candidates if t <= max(tmax, 64)] or [64]
 
+    cost_fn = (_expected_query_cost_device if cost_model == "device"
+               else _expected_query_cost)
     best_node = None
     best_cost = np.inf
     best_t = None
+    if cost_model == "device":
+        # flat candidate: every user bin its own technical bin
+        flat = LayoutNode()
+        for b in entries:
+            flat.records.append(
+                LayoutRecord(b.filenames, len(flat.records), 1))
+        flat.num_technical_bins = len(entries)
+        flat.est_max_card = max((b.count for b in entries), default=1.0)
+        flat.max_bin_index = int(np.argmax([b.count for b in entries])) \
+            if entries else 0
+        best_node = flat
+        best_cost = cost_fn(flat)
+        best_t = 0
+        if verbose:
+            print(f"## flat\texpected device query cost = "
+                  f"{best_cost:.4f}", flush=True)
     for t in candidates:
         node = _build_node(entries, t)
-        cost = _expected_query_cost(node)
+        cost = cost_fn(node)
         if verbose:
             print(f"## t_max = {t}\texpected query cost = {cost:.4f}",
                   flush=True)

@@ -1,0 +1,186 @@
+#!/usr/bin/env python3
+"""At-scale index demonstration (VERDICT r3 item 3 / BASELINE config-4
+class): build and search a multi-GB HIXF on real hardware.
+
+Default shape: 24,576 genomes x 160 kb = ~3.9 GB of sequence,
+~350M syncmers (k=22 s=12), tmax-sweep hierarchical layout, spill
+directory exercised.  Root-level IXFs exceed the VMEM budget and run on
+the XLA-gather engine; leaf levels run the Pallas kernels — the
+mixed-engine traversal is the at-scale search architecture.
+
+Subcommands (so the long phases checkpoint):
+  gen     write genomes + taxonomy + reads       (~10 min, CPU)
+  build   taxor build with phase timings         (~1 h, CPU)
+  search  device + native-baseline search        (chip)
+Results append to ATSCALE_r04.json.
+
+Run: PYTHONPATH=. python tools/at_scale_demo.py gen|build|search
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WORK = os.environ.get("ATSCALE_DIR", os.path.join(ROOT, ".atscale"))
+N_SPECIES = int(os.environ.get("ATSCALE_SPECIES", 24576))
+GENOME_LEN = int(os.environ.get("ATSCALE_GLEN", 160_000))
+N_READS = int(os.environ.get("ATSCALE_READS", 2048))
+READ_LEN = 2000
+RESULT = os.path.join(ROOT, "ATSCALE_r04.json")
+
+
+def log(m):
+    print(f"[atscale +{time.strftime('%H:%M:%S')}] {m}", flush=True)
+
+
+def record(key, value):
+    data = {}
+    if os.path.exists(RESULT):
+        data = json.load(open(RESULT))
+    data[key] = value
+    json.dump(data, open(RESULT, "w"), indent=1)
+    log(f"recorded {key}")
+
+
+def gen():
+    from util import BASES, write_fasta
+
+    rng = np.random.default_rng(2024)
+    gdir = os.path.join(WORK, "genomes")
+    os.makedirs(gdir, exist_ok=True)
+    t0 = time.time()
+    rows = []
+    read_recs = []
+    reads_per = max(1, N_READS // min(N_SPECIES, 2048))
+    read_src = set(
+        rng.choice(N_SPECIES, min(N_SPECIES, 2048), replace=False).tolist())
+    for i in range(N_SPECIES):
+        acc = f"GCF_{i:06d}.1"
+        seq = BASES[rng.integers(0, 4, GENOME_LEN)].tobytes()
+        write_fasta(os.path.join(gdir, f"{acc}_genomic.fna"),
+                    [(f"{acc} chromosome", seq)])
+        taxid = str(1000 + i)
+        names = (f"k__Bacteria;p__P{i%7};c__C{i%11};o__O{i%13};"
+                 f"f__F{i%17};g__G{i//10};s__Species {i}")
+        taxids = (f"2;{2000+i%7};{3000+i%11};{4000+i%13};"
+                  f"{5000+i%17};{6000+i//10};{1000+i}")
+        rows.append(f"{acc}\t{taxid}\tftp://x/{acc}_genomic.fna\t"
+                    f"Organism {i}\t{names}\t{taxids}")
+        if i in read_src:
+            arr = np.frombuffer(seq, dtype=np.uint8)
+            for _ in range(reads_per):
+                off = int(rng.integers(0, GENOME_LEN - READ_LEN))
+                r = arr[off : off + READ_LEN].copy()
+                nerr = int(READ_LEN * 0.02)
+                pos = rng.choice(READ_LEN, nerr, replace=False)
+                r[pos] = BASES[rng.integers(0, 4, nerr)]
+                read_recs.append((f"read{len(read_recs)}_{acc}",
+                                  r.tobytes()))
+        if (i + 1) % 4096 == 0:
+            log(f"genomes {i + 1}/{N_SPECIES}")
+    with open(os.path.join(WORK, "taxonomy.tsv"), "w") as fh:
+        fh.write("\n".join(rows) + "\n")
+    write_fasta(os.path.join(WORK, "reads.fna"), read_recs[:N_READS])
+    record("gen", dict(n_species=N_SPECIES, genome_len=GENOME_LEN,
+                       seq_gb=round(N_SPECIES * GENOME_LEN / 1e9, 2),
+                       n_reads=len(read_recs[:N_READS]),
+                       wall_s=round(time.time() - t0, 1)))
+
+
+def build():
+    from taxor_tpu.apps.build import BuildConfig, run_build
+
+    t0 = time.time()
+    index = run_build(BuildConfig(
+        input_file=os.path.join(WORK, "taxonomy.tsv"),
+        input_sequence_dir=os.path.join(WORK, "genomes"),
+        output_filename=os.path.join(WORK, "index.npz"),
+        kmer_size=22, syncmer_size=12, use_syncmer=True,
+        layout_mode="auto", tmax=4096,
+        layout_file=os.path.join(WORK, "binning.out"),
+        spill_dir=os.path.join(WORK, "spill"),
+        threads=2,
+    ))
+    wall = time.time() - t0
+    hixf = index.hixf
+    fp_bytes = sum(x.fingerprints.nbytes for x in hixf.ixfs)
+    slots_max = max(x.fingerprints.shape[0] for x in hixf.ixfs)
+    sizes = sorted((x.fingerprints.nbytes for x in hixf.ixfs),
+                   reverse=True)
+    record("build", dict(
+        wall_s=round(wall, 1),
+        phases={k: round(v, 1)
+                for k, v in getattr(index, "build_timings", {}).items()},
+        n_ixfs=len(hixf.ixfs),
+        root_bins=hixf.ixfs[0].bin_count,
+        fingerprint_gb=round(fp_bytes / 2**30, 3),
+        largest_ixf_mb=round(sizes[0] / 2**20, 1),
+        max_slots=slots_max,
+        index_npz_gb=round(os.path.getsize(
+            os.path.join(WORK, "index.npz")) / 2**30, 3),
+        n_user_bins=hixf.num_user_bins,
+    ))
+
+
+def search():
+    from taxor_tpu.device.hixf_search import DeviceHIXF
+    from taxor_tpu.hixf.index import load_index
+    from taxor_tpu.io.fastx import read_all
+    from taxor_tpu.native.baseline import baseline_search
+    from taxor_tpu.search.pipeline import SearchConfig, search_single
+    from taxor_tpu.search.thresholds import Thresholder
+
+    t0 = time.time()
+    index = load_index(os.path.join(WORK, "index.npz"))
+    load_s = time.time() - t0
+    scheme = index.scheme
+    thresholder = Thresholder.make(scheme.kmer_size, scheme.window_size,
+                                   0.04, -1.0, scheme.use_syncmer)
+    reads_file = os.path.join(WORK, "reads.fna")
+    seqs = [r.seq for r in read_all(reads_file)]
+
+    # native reference-proxy baseline (subset; x32 single-thread proxy)
+    sub = seqs[:128]
+    t0 = time.time()
+    baseline_search(index.hixf, sub, scheme, thresholder, threads=1)
+    r1 = len(sub) / (time.time() - t0)
+
+    t0 = time.time()
+    dhixf = DeviceHIXF(index.hixf)
+    prep_s = time.time() - t0
+    engines = [d.engine + ("/p10" if d.p10 else "") for d in dhixf.ixfs]
+    from collections import Counter
+
+    eng_counts = dict(Counter(engines))
+
+    out = open(os.path.join(WORK, "device.tsv"), "w")
+    t0 = time.time()
+    search_single(index, reads_file, out,
+                  SearchConfig(engine="device", batch_size=1024), dhixf)
+    dev_wall = time.time() - t0
+    out.close()
+
+    record("search", dict(
+        index_load_s=round(load_s, 1),
+        device_prep_s=round(prep_s, 1),
+        engines=eng_counts,
+        n_reads=len(seqs),
+        device_wall_s=round(dev_wall, 1),
+        device_reads_per_s=round(len(seqs) / dev_wall, 1),
+        baseline_1thread_reads_per_s=round(r1, 1),
+        baseline_32x_reads_per_s=round(32 * r1, 1),
+        vs_baseline=round(len(seqs) / dev_wall / (32 * r1), 3),
+    ))
+
+
+if __name__ == "__main__":
+    os.makedirs(WORK, exist_ok=True)
+    {"gen": gen, "build": build, "search": search}[sys.argv[1]]()
