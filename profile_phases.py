@@ -61,6 +61,7 @@ def main():
     from taxor_tpu.device.hixf_search import DeviceHIXF
     from taxor_tpu.device import e2e as de2e
     from taxor_tpu.device.pallas_probe import (_probe_call_chunked,
+                                               _probe_call_chunked_p10,
                                                choose_bin_tile4)
     from taxor_tpu.hash import device_syncmer as dsync
     from taxor_tpu.hash.device_syncmer import (dedup_kmers,
@@ -129,9 +130,12 @@ def main():
     log(f"valid hashes total {nvalid} (avg {nvalid/R:.0f}/read), "
         f"fp {dixf.fp.shape} bt4={bt4}")
 
-    tC = timed(lambda p, f, v: _probe_call_chunked(dixf.fp, p, f, v, bt4,
-                                                   False),
-               pos, f4i, valid)
+    if dixf.p10:
+        tC = timed(lambda p, f, v: _probe_call_chunked_p10(
+            dixf.fp, p, f, v, dixf.bl_u32, bt4, False), pos, f4i, valid)
+    else:
+        tC = timed(lambda p, f, v: _probe_call_chunked(
+            dixf.fp, p, f, v, bt4, False), pos, f4i, valid)
     row_bytes = nvalid * 3 * dixf.fp.shape[1] * 4
     log(f"C probe kernel          {tC*1e3:8.2f} ms/pass  "
         f"({row_bytes/tC/1e9:.1f} GB/s probe rows)")
@@ -146,7 +150,8 @@ def main():
     log(f"C2 u64 hash math        {tC2*1e3:8.2f} ms/pass")
 
     # D: full fused step
-    kw = dict(k=k, s=s, t=t, hcap=hcap, topk=16, bin_tile4=bt4)
+    kw = dict(k=k, s=s, t=t, hcap=hcap, topk=16, bin_tile4=bt4,
+              use_p10=dixf.p10)
     tD = timed(lambda p, l: de2e.fused_e2e_step(
         dixf.fp, p, l, dixf.run_onehot, users_dev, dixf.seed_hi,
         dixf.seed_lo, dixf.bl_u32, **kw), pr, ln)

@@ -129,6 +129,59 @@ def _add_profile(sub):
     return p
 
 
+def _add_prewarm(sub):
+    p = sub.add_parser(
+        "prewarm",
+        help="Compile (and persistently cache) the fused search graphs "
+             "for an index ahead of time, so the first `taxor search` "
+             "starts classifying in seconds instead of waiting on the "
+             "compile service (framework extension — no reference "
+             "equivalent; the reference is interpreted C++)")
+    p.add_argument("--index-file", required=True)
+    p.add_argument("--lengths", default="1024,2048,4096",
+                   help="comma-separated read-length buckets to compile")
+    p.add_argument("--topk", default="",
+                   help="comma-separated top-k rungs (default: the "
+                        "index's suggested rung + the escalation ladder "
+                        "start)")
+    return p
+
+
+def run_prewarm(index_file: str, lengths: str, topk: str) -> None:
+    """Drive one tiny batch through every (L-bucket x topk) fused graph;
+    compiled executables land in the persistent cache keyed by shape, so
+    any later search over the same index geometry is a cache hit."""
+    import numpy as np
+
+    from .device.hixf_search import DeviceHIXF
+    from .hash import device_syncmer as dsync
+    from .hixf.index import load_index
+    from .search.thresholds import Thresholder
+
+    index = load_index(index_file)
+    scheme = index.scheme
+    thresholder = Thresholder.make(scheme.kmer_size, scheme.window_size,
+                                   0.04, -1.0, scheme.use_syncmer)
+    dhixf = DeviceHIXF(index.hixf)
+    if not dhixf.e2e_capable(thresholder):
+        print("prewarm: index not fused-capable; nothing to compile")
+        return
+    ls = [int(x) for x in lengths.split(",") if x]
+    sugg = int(getattr(index, "suggested_topk", 16))
+    ks = ([int(x) for x in topk.split(",") if x]
+          or sorted({16, sugg}))
+    for L in ls:
+        Lb = dsync.pad_len_bucket(L)
+        packed, lens = dsync.pack_reads([b"ACGT" * (Lb // 4)], Lb)
+        packed = np.repeat(packed, 16, axis=0)
+        lens = np.repeat(lens, 16)
+        for kk in ks:
+            t0 = time.time()
+            dhixf.e2e_async(packed, lens, scheme, thresholder, k=kk)()
+            print(f"prewarm: L={Lb} topk={kk} compiled+cached in "
+                  f"{time.time() - t0:.1f}s", flush=True)
+
+
 def main(argv: list[str] | None = None) -> int:
     _enable_persistent_compile_cache()
     parser = argparse.ArgumentParser(
@@ -139,6 +192,7 @@ def main(argv: list[str] | None = None) -> int:
     _add_build(sub)
     _add_search(sub)
     _add_profile(sub)
+    _add_prewarm(sub)
     parser.add_argument("--verbose", "-v", action="store_true",
                         help="debug logging")
     args = parser.parse_args(argv)
@@ -192,6 +246,8 @@ def main(argv: list[str] | None = None) -> int:
                 write_time=args.write_time,
                 profile_trace=args.profile_trace,
             ))
+        elif args.command == "prewarm":
+            run_prewarm(args.index_file, args.lengths, args.topk)
         elif args.command == "profile":
             from .profile.profile import ProfileConfig, run_profile
 

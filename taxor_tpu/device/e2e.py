@@ -37,18 +37,52 @@ from .pallas_probe import _HASH_UNROLL, _probe_call_chunked
 # scan-exact XLA path.
 USE_FUSED_EXTRACT = True
 
+# On-device tie rescue (VERDICT r3 item 6): reads whose window minima
+# tie at the emission offset are history-dependent and the fused kernel
+# flags them with the n_emit sentinel.  Instead of detouring every such
+# read to the HOST oracle forever (~0.5-2% of reads, homopolymer-
+# driven), gather up to R/_TIE_RESCUE_DIV flagged reads into a small
+# static sub-batch and rerun the EXACT stateful tracker (the XLA scan
+# path) on device.  Flagged reads beyond the bucket — or whose exact
+# emission count overflows hcap — still fall back to the host.
+TIE_RESCUE = True
+_TIE_RESCUE_DIV = 32
+
 
 def _syncmer_hashes(packed_reads, lengths, k, s, t, hcap, interpret):
     """(hi, lo, valid, n_unique, n_emit) wyhashed sorted-unique syncmer
-    k-mers — fused Pallas kernel or the XLA scan path."""
-    if USE_FUSED_EXTRACT:
-        return syncmer_hashes_fused(packed_reads, lengths, k, s, t, hcap,
-                                    interpret=interpret)
-    k_hi, k_lo, emit = syncmer_kmers(packed_reads, lengths, k, s, t)
-    khi_c, klo_c, valid, n_unique, n_emit = dedup_kmers(
-        k_hi, k_lo, emit, hcap, emission_min_gap(k, s, t),
-        sort_impl="fused_interpret" if interpret else "auto")
-    hi, lo = wyhash64(khi_c, klo_c)
+    k-mers — fused Pallas kernel (+ exact-tracker tie rescue) or the
+    XLA scan path."""
+    if not USE_FUSED_EXTRACT:
+        k_hi, k_lo, emit = syncmer_kmers(packed_reads, lengths, k, s, t)
+        khi_c, klo_c, valid, n_unique, n_emit = dedup_kmers(
+            k_hi, k_lo, emit, hcap, emission_min_gap(k, s, t),
+            sort_impl="fused_interpret" if interpret else "auto")
+        hi, lo = wyhash64(khi_c, klo_c)
+        return hi, lo, valid, n_unique, n_emit
+    hi, lo, valid, n_unique, n_emit = syncmer_hashes_fused(
+        packed_reads, lengths, k, s, t, hcap, interpret=interpret)
+    R = packed_reads.shape[0]
+    if TIE_RESCUE and R >= 16:
+        from .pallas_extract import _TIE_SENTINEL
+
+        TB = max(16, R // _TIE_RESCUE_DIV)
+        flagged = n_emit == jnp.int32(_TIE_SENTINEL)
+        # fill_value R is out of bounds: gathers clamp (junk rows that
+        # are never used), scatters with mode="drop" discard them — so
+        # duplicate-index write races cannot occur
+        idx = jnp.nonzero(flagged, size=TB, fill_value=R)[0]
+        sk_hi, sk_lo, semit = syncmer_kmers(
+            packed_reads[idx], lengths[idx], k, s, t)
+        shi_c, slo_c, sval, snu, sne = dedup_kmers(
+            sk_hi, sk_lo, semit, hcap, emission_min_gap(k, s, t),
+            sort_impl="fused_interpret" if interpret else "auto")
+        shi, slo = wyhash64(shi_c, slo_c)
+        hi = hi.at[idx].set(shi, mode="drop")
+        lo = lo.at[idx].set(slo, mode="drop")
+        valid = valid.at[idx].set(sval, mode="drop")
+        n_unique = n_unique.at[idx].set(snu, mode="drop")
+        n_emit = n_emit.at[idx].set(sne, mode="drop")
     return hi, lo, valid, n_unique, n_emit
 
 

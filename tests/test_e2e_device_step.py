@@ -171,3 +171,62 @@ def test_decode_ignores_batch_padding(flat_setup):
         dfs_rank, hcap)
     assert len(pairs) == R and len(hash_counts) == R
     assert all(p == [] for p in pairs)
+
+
+def test_tie_rescue_on_device():
+    """Homopolymer-rich reads produce tied window minima, which the
+    fused extractor flags for fallback; the on-device exact-tracker
+    rescue (e2e._syncmer_hashes, VERDICT r3 item 7) must resolve them
+    bit-exactly WITHOUT the n_emit sentinel, matching the host oracle's
+    hash sets."""
+    import jax.numpy as jnp
+
+    from taxor_tpu.device import e2e as de2e
+    from taxor_tpu.device.pallas_extract import (_TIE_SENTINEL,
+                                                syncmer_hashes_fused)
+    from taxor_tpu.hash.schemes import HashScheme, search_hashes
+
+    rng = np.random.default_rng(99)
+    k, s, t = 22, 12, 5
+    L = 1024
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    seqs = []
+    for i in range(64):
+        arr = bases[rng.integers(0, 4, 900)]
+        if i % 4 == 0:  # every 4th read is homopolymer-salted: flagged
+            # reads must fit the R/32 (floor 16) rescue bucket
+            for _ in range(2):
+                off = int(rng.integers(0, 860))
+                arr[off : off + 16] = bases[int(rng.integers(0, 4))]
+        seqs.append(arr.tobytes())
+    packed, lengths = pack_reads(seqs, L)
+    hcap = hash_cap(L)
+    pr, ln = jnp.asarray(packed), jnp.asarray(lengths)
+
+    # the raw kernel must flag a healthy number of tied reads ...
+    _, _, _, _, ne_raw = syncmer_hashes_fused(pr, ln, k, s, t, hcap,
+                                              interpret=True)
+    n_flagged = int((np.asarray(ne_raw) == _TIE_SENTINEL).sum())
+    assert n_flagged >= 5, "tie workload did not produce tied windows"
+
+    assert n_flagged <= 16  # fits the rescue bucket by construction
+    # ... and the rescue path must clear ALL of them and match the host
+    # oracle
+    hi, lo, valid, n_unique, n_emit = de2e._syncmer_hashes(
+        pr, ln, k, s, t, hcap, True)
+    n_emit = np.asarray(n_emit)
+    assert (n_emit != _TIE_SENTINEL).all()
+    scheme = HashScheme(kmer_size=k, syncmer_size=s, t_syncmer=t,
+                        use_syncmer=True)
+    host = search_hashes(seqs, scheme)
+    hi, lo, valid = np.asarray(hi), np.asarray(lo), np.asarray(valid)
+    for r in range(len(seqs)):
+        want = np.sort(host[r])
+        n = want.shape[0]
+        assert int(np.asarray(n_unique)[r]) == n, r
+        got = (hi[r, :n].astype(np.uint64) << np.uint64(32)) \
+            | lo[r, :n].astype(np.uint64)
+        assert valid[r, :n].all()
+        # columns are sorted in canonical-k-mer space, not hash space
+        np.testing.assert_array_equal(np.sort(got), want,
+                                      err_msg=f"read {r}")

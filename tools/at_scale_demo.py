@@ -130,6 +130,46 @@ def build():
     ))
 
 
+def baseline():
+    """Build-side reference proxy (VERDICT r3 item 9): the reference
+    parallelizes its counting phase over files with OpenMP
+    (taxor_build.cpp:321,386); the per-file work is the same syncmer
+    scan + unique our native scanner runs.  Measure the SINGLE-THREAD
+    native count rate on a file sample and model the 32-thread
+    reference as 32x that rate."""
+    import glob
+
+    from taxor_tpu.hash import schemes as _schemes
+    from taxor_tpu.hash.schemes import HashScheme, build_hashes
+    from taxor_tpu.io.fastx import iter_fastx
+
+    files = sorted(glob.glob(os.path.join(WORK, "genomes", "*.fna")))
+    sample = files[:: max(1, len(files) // 128)][:128]
+    scheme = HashScheme(kmer_size=22, syncmer_size=12, use_syncmer=True)
+    seqs = []
+    nbytes = 0
+    for f in sample:
+        for rec in iter_fastx(f):
+            seqs.append(rec.seq)
+            nbytes += len(rec.seq)
+    _schemes.NUM_THREADS = 1
+    build_hashes(seqs[:4], scheme)  # warm the native lib
+    t0 = time.time()
+    for q in seqs:  # per-file calls, like the reference's count loop
+        build_hashes([q], scheme)
+    dt = time.time() - t0
+    rate = nbytes / dt / 1e6
+    total = N_SPECIES * GENOME_LEN
+    record("build_baseline", dict(
+        sample_files=len(sample),
+        count_1thread_mb_s=round(rate, 1),
+        proxy_32thread_count_s=round(total / (32 * rate * 1e6), 1),
+        note="reference counting proxy = 32 x single-thread native "
+             "scan+unique rate (taxor_build.cpp:321,386); compare with "
+             "build.phases.count_s (this host has 2 cores)",
+    ))
+
+
 def search():
     from taxor_tpu.device.hixf_search import DeviceHIXF
     from taxor_tpu.hixf.index import load_index
@@ -183,4 +223,5 @@ def search():
 
 if __name__ == "__main__":
     os.makedirs(WORK, exist_ok=True)
-    {"gen": gen, "build": build, "search": search}[sys.argv[1]]()
+    {"gen": gen, "build": build, "baseline": baseline,
+     "search": search}[sys.argv[1]]()
