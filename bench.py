@@ -185,7 +185,7 @@ def _device_reads_per_s(index, seqs, thresholder, topk=16):
         kw = dict(k=scheme.kmer_size, s=scheme.syncmer_size,
                   t=scheme.t_syncmer, hcap=hcap, topk=topk,
                   bin_tile4=choose_bin_tile4(*dixf.fp.shape),
-                  use_p10=dixf.p10)
+                  use_p10=dixf.p10, prefix_runs=dixf.prefix_runs)
         t = _rolled_timer(
             lambda p, l: fused_e2e_step(
                 dixf.fp, p, l, dixf.run_onehot, users_dev,
@@ -437,6 +437,12 @@ def main():
     for spec in (
         dict(name="flat_4096", n_species=4096, genome_len=5000,
              n_reads=2048, read_len=2000, baseline_sub=512),
+        # the scaling regime the reference actually targets (RefSeq/GTDB
+        # have 10^4..10^5 references): per-hash cost grows with row
+        # bytes on BOTH engines, but the CPU's cache-miss-bound row scan
+        # degrades much faster than the chip's streaming row XOR
+        dict(name="flat_16384", n_species=16384, genome_len=3000,
+             n_reads=2048, read_len=2000, baseline_sub=128),
         dict(name="hier_1024", n_species=1024, genome_len=5000,
              n_reads=2048, read_len=2000, layout_mode="auto", tmax=64,
              baseline_sub=512),

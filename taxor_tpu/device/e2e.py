@@ -247,7 +247,7 @@ def make_hixf_e2e_grouped_fn(groups, leaf_users, k: int, s: int, t: int,
     jax.jit,
     static_argnames=("k", "s", "t", "hcap", "topk", "bin_tile4",
                      "interpret", "scheme_kind", "window",
-                     "scale_thresh", "use_p10"),
+                     "scale_thresh", "use_p10", "prefix_runs"),
 )
 def fused_e2e_step(
     fp_packed,  # int32 [S+1, B4] (prepare_fingerprints)
@@ -270,6 +270,7 @@ def fused_e2e_step(
     window: int = 0,
     scale_thresh: int = 0,
     use_p10: bool = False,
+    prefix_runs: int = 0,
 ):
     """Returns packed int32 [R, 2*topk + 2]:
     [:, :topk] descending raw run sums, [:, topk:2*topk] their user bins
@@ -309,12 +310,17 @@ def fused_e2e_step(
     # rounding any per-bin count > 256 — plain-k-mer reads carry ~1000
     # counts and came back off-by-one (caught by the bench parity gate).
     # 3-pass bf16 reconstructs exact f32, and one-hot sums of ints
-    # < 2^24 are exact in f32.
-    sums = jnp.dot(
-        counts.astype(jnp.float32), onehot,
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    ).astype(jnp.int32)
+    # < 2^24 are exact in f32.  prefix_runs (static): unit runs at
+    # identity positions — the matmul IS a column slice (trivially
+    # exact, and ~7 ms cheaper at 4096 bins).
+    if prefix_runs:
+        sums = counts[:, :prefix_runs]
+    else:
+        sums = jnp.dot(
+            counts.astype(jnp.float32), onehot,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        ).astype(jnp.int32)
     vs = jnp.where((run_users >= 0)[None, :], sums, jnp.int32(-1))
     kk = min(topk, vs.shape[1])
     vals, idx = jax.lax.top_k(vs, kk)

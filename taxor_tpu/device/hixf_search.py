@@ -39,6 +39,9 @@ class _DeviceIXF:
     engine: str = "xla"  # 'xla' | 'pallas'
     # block-padded p10x2 table (pallas_probe.prepare_fingerprints_p10)
     p10: bool = False
+    # n_runs when every run is one technical bin at its own index
+    # (flat indexes): the segmentation matmul is then a column slice
+    prefix_runs: int = 0
     # traced geometry scalars for the fused device step
     seed_hi: jax.Array | None = None
     seed_lo: jax.Array | None = None
@@ -126,6 +129,9 @@ class DeviceHIXF:
                 fp = pad_fingerprints(ixf.fingerprints)
                 bins_padded = fp.shape[1]
             n_runs = starts.shape[0]
+            prefix_runs = (
+                n_runs if (np.array_equal(starts, np.arange(n_runs))
+                           and np.array_equal(ends, starts + 1)) else 0)
             onehot = np.zeros((bins_padded, n_runs), dtype=np.float32)
             for r, (s, e) in enumerate(zip(starts, ends)):
                 onehot[s:e, r] = 1.0
@@ -159,6 +165,7 @@ class DeviceHIXF:
                     run_children=children,
                     engine=ixf_engine,
                     p10=ixf_p10,
+                    prefix_runs=prefix_runs,
                     seed_hi=jnp.uint32(ixf.seed >> 32),
                     seed_lo=jnp.uint32(ixf.seed & 0xFFFFFFFF),
                     bl_u32=jnp.uint32(ixf.block_length),
@@ -251,6 +258,7 @@ class DeviceHIXF:
             dixf.bl_u32,
             bin_tile4=choose_bin_tile4(*dixf.fp.shape),
             use_p10=dixf.p10,
+            prefix_runs=dixf.prefix_runs,
         )
         packed_dev = finalize_topk(sums_dev, jnp.asarray(thr),
                                    run_users_dev, k)
@@ -773,6 +781,7 @@ class DeviceHIXF:
             scale_thresh=_scale_thresh(scheme),
             interpret=getattr(self, "_interpret", False),
             use_p10=dixf.p10,
+            prefix_runs=dixf.prefix_runs,
         )
         try:
             packed_dev.copy_to_host_async()
@@ -824,6 +833,7 @@ class DeviceHIXF:
                 dixf.bl_u32,
                 bin_tile4=choose_bin_tile4(*dixf.fp.shape),
                 use_p10=dixf.p10,
+                prefix_runs=dixf.prefix_runs,
             )
 
             def collect():
@@ -904,6 +914,7 @@ class DeviceHIXF:
                     dixf.bl_u32,
                     bin_tile4=choose_bin_tile4(*dixf.fp.shape),
                     use_p10=dixf.p10,
+                    prefix_runs=dixf.prefix_runs,
                 )
             else:
                 pos, fpr, _ = compute_probes(

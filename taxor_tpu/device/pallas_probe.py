@@ -939,7 +939,8 @@ def pack_hash_lists(hash_lists, Hpad: int, read_tile: int = _READ_TILE
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("bin_tile4", "interpret", "use_p10"))
+                   static_argnames=("bin_tile4", "interpret", "use_p10",
+                                    "prefix_runs"))
 def fused_probe_step(
     fp_packed,  # int32 [S+1, B4] (or [3*1024, B4] p10 table)
     batch,  # uint32 [R, 3H]: [h_hi | h_lo | mask] (pack_batch)
@@ -951,13 +952,19 @@ def fused_probe_step(
     bin_tile4: int,
     interpret: bool = False,
     use_p10: bool = False,
+    prefix_runs: int = 0,
 ):
     """Whole per-IXF search step on device: murmur mix + probe positions
     (32-bit pair math), Pallas probe/count, run segmentation matmul.
     Geometry scalars are traced, so one compilation covers every IXF that
     shares (R, H, S+1, B4) shapes.  use_p10 (static): fp_packed is the
     block-padded prepare_fingerprints_p10 table and the p10x2 kernel
-    runs.  Returns int32 [R, n_runs] run sums."""
+    runs.  prefix_runs (static, flat indexes): when every run is ONE
+    technical bin at its own index (runs_of_ixf gives starts == arange),
+    the segmentation matmul is the identity on the first n columns —
+    slice instead (the [R,4096]x[4096,4096] HIGHEST-precision matmul
+    cost 7 ms/pass on the flat_4096 bench config; the slice is free).
+    Returns int32 [R, n_runs] run sums."""
     from ..utils.u64jnp import probe_positions_and_fprint4
 
     R = batch.shape[0]
@@ -982,6 +989,8 @@ def fused_probe_step(
         pos = jnp.where(mask[..., None], pos, sentinel)
         counts = _probe_call_chunked(fp_packed, pos, f4i, mask, bin_tile4,
                                      interpret)
+    if prefix_runs:
+        return counts[:, :prefix_runs]
     return jnp.dot(
         counts.astype(jnp.float32), onehot,
         preferred_element_type=jnp.float32,
