@@ -182,7 +182,21 @@ def make_hixf_e2e_grouped_fn(groups, leaf_users, k: int, s: int, t: int,
                     poscache[g["poskey"]] = cached
             pos_raw, f4i = cached
             S1 = g["fp"].shape[0]
-            if g.get("p10"):
+            if g.get("engine", "pallas") == "xla":
+                # VMEM-exceeding tables (at-scale roots whose merged
+                # bins hold the whole database union): probe as an XLA
+                # row gather over the HBM-resident table (~36 ns/row
+                # measured, vs impossible for the VMEM kernel).  The
+                # packed int32 words view back to the uint8 bin layout
+                # byte-exactly (bin 4w+j = byte j of word w).
+                from .probe import count_xla
+
+                fp8 = jax.lax.bitcast_convert_type(
+                    g["fp"], jnp.uint8).reshape(S1, -1)
+                fpr8 = (f4i & 0xFF).astype(jnp.uint8)
+                counts = count_xla(fp8, pos_raw, fpr8,
+                                   valid & act_any[:, None])
+            elif g.get("p10"):
                 from .pallas_probe import _probe_call_chunked_p10
 
                 counts = _probe_call_chunked_p10(

@@ -291,10 +291,18 @@ class DeviceHIXF:
             if len(self.ixfs) == 1:
                 return True
             return thresholder is not None
-        if not all(d.engine == "pallas" for d in self.ixfs):
-            return False
+        import jax as _jax
+
+        pallas_ok = (_jax.default_backend() == "tpu"
+                     or getattr(self, "_interpret", False))
         if len(self.ixfs) == 1:
-            return True
+            return self.ixfs[0].engine == "pallas"
+        if not all(d.engine == "pallas" for d in self.ixfs) \
+                and not pallas_ok:
+            # mixed pallas/xla groups (VMEM-exceeding at-scale roots go
+            # through the XLA row gather) need a backend where the
+            # pallas members can run
+            return False
         return thresholder is not None
 
     def _sharded_e2e_async(self, raw_reads, lengths, scheme, k: int,
@@ -536,6 +544,7 @@ class DeviceHIXF:
                     bl=jnp.uint32(g["bl"]),
                     poskey=g["poskey"],
                     p10=g.get("p10", False),
+                    engine=g.get("engine", "pallas"),
                     bt4=choose_bin_tile4(*g["fp"].shape),
                     members=[(m[0], m[1], m[2], m[3], jnp.asarray(m[4]))
                              for m in g["members"]],
@@ -686,9 +695,13 @@ class DeviceHIXF:
                     onehot[4 * b4_off + a : 4 * b4_off + b,
                            roff + r] = 1.0
                 roff += n_runs
+            from .pallas_probe import choose_bin_tile4 as _cbt4
+
+            g_engine = "pallas" if _cbt4(*fp_group.shape) else "xla"
             groups.append(dict(
                 fp=fp_group, onehot=onehot, seed=gk[1], bl=gk[2],
                 poskey=(gk[1], gk[2]), members=members_meta, p10=g_p10,
+                engine=g_engine,
             ))
         leaf_users = np.concatenate(leaf_users_parts)
         return groups, leaf_users

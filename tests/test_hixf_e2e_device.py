@@ -230,3 +230,54 @@ def test_minimizer_fused_matches_host(kmer_setup):
         assert final(pairs[r]) == final(expect), r
         n_hits += bool(expect)
     assert n_hits >= len(reads) // 2
+
+
+def test_mixed_engine_group_matches_pallas(hier_setup):
+    """At-scale roots exceed the VMEM kernel budget and probe via the
+    XLA row gather inside the same fused graph; forcing the root group
+    onto the xla engine must be bit-identical to the all-pallas path."""
+    import jax.numpy as jnp
+
+    from taxor_tpu.device.e2e import make_hixf_e2e_grouped_fn
+    from taxor_tpu.device.pallas_probe import choose_bin_tile4
+    from taxor_tpu.hash.device_syncmer import hash_cap, pack_reads
+
+    index, reads = hier_setup
+    scheme = index.scheme
+    thresholder = Thresholder.make(scheme.kmer_size, scheme.window_size,
+                                   0.04, -1.0, scheme.use_syncmer)
+    dhixf = DeviceHIXF(index.hixf, engine="pallas")
+    dhixf._interpret = True
+    L = dsync.pad_len_bucket(max(len(r) for r in reads))
+    packed, lengths = pack_reads(reads[:64], L)
+    hcap = hash_cap(L)
+    tbl = jnp.asarray(dhixf._thr_table(thresholder, hcap))
+
+    outs = {}
+    for force_xla in (False, True):
+        # the forced-xla variant uses plain (non-block-padded) tables,
+        # as production does: a table too big for VMEM is never
+        # p10-eligible (its block length exceeds 10 bits)
+        host_groups, leaf_users = dhixf._build_probe_groups(
+            max_group_b4=128, p10_ok=not force_xla)
+        groups = []
+        for gi, g in enumerate(host_groups):
+            eng = "xla" if (force_xla and gi == 0) else g["engine"]
+            groups.append(dict(
+                fp=jnp.asarray(g["fp"]), onehot=jnp.asarray(g["onehot"]),
+                seed_hi=jnp.uint32(g["seed"] >> 32),
+                seed_lo=jnp.uint32(g["seed"] & 0xFFFFFFFF),
+                bl=jnp.uint32(g["bl"]), poskey=g["poskey"],
+                p10=g["p10"], engine=eng,
+                bt4=choose_bin_tile4(*g["fp"].shape),
+                members=[(m[0], m[1], m[2], m[3], jnp.asarray(m[4]))
+                         for m in g["members"]],
+            ))
+        fn = make_hixf_e2e_grouped_fn(
+            groups, jnp.asarray(leaf_users.astype(np.int32)),
+            k=scheme.kmer_size, s=scheme.syncmer_size,
+            t=scheme.t_syncmer, topk=16, interpret=True)
+        outs[force_xla] = np.asarray(fn(
+            jnp.asarray(packed), jnp.asarray(lengths.astype(np.int32)),
+            tbl, hcap=hcap))
+    np.testing.assert_array_equal(outs[True], outs[False])
