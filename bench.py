@@ -192,10 +192,10 @@ def _device_reads_per_s(index, seqs, thresholder, topk=16):
                 dixf.seed_hi, dixf.seed_lo, dixf.bl_u32, **kw),
             pr, ln)
     else:
-        fn = dhixf._hixf_e2e_fn(scheme, topk)
+        fn, fps, onehots = dhixf._hixf_e2e_fn(scheme, topk)
         tbl = jnp.asarray(dhixf._thr_table(thresholder, hcap))
         t = _rolled_timer(
-            lambda p, l: fn(p, l, tbl, hcap=hcap), pr, ln)
+            lambda p, l: fn(p, l, tbl, fps, onehots, hcap=hcap), pr, ln)
     return R / t, t, fb_frac, classified, dhixf
 
 

@@ -117,14 +117,18 @@ def make_hixf_e2e_grouped_fn(groups, leaf_users, k: int, s: int, t: int,
     result is bit-identical to per-IXF probing.
 
     groups: ordered list (ancestors strictly before descendants) of
-      dicts with keys fp (device packed [S1, B4g]), onehot (device
-      [4*B4g, n_runs_g]), seed_hi/seed_lo/bl (traced u32 scalars),
-      bt4 (static), members: list of
+      dicts with keys seed_hi/seed_lo/bl (traced u32 scalars),
+      bt4/p10/engine (static), members: list of
       (bfs_pos, run_off, n_runs, children [(local_run, child_bfs_pos)],
        leaf_sel device int32 array of GLOBAL run indices within the
        group's sums).
     leaf_users: device int32, user bin per concatenated leaf column in
       group/member order.
+
+    The per-group fingerprint tables and one-hots are ARGUMENTS of the
+    returned fn (tuples `fps` / `onehots`), NOT closure captures: a
+    captured 1 GB at-scale table would be lowered into the HLO as a
+    CONSTANT (observed: 2 GB of captured constants hung the compile).
 
     descend_all: length-dependent threshold models (fracminhash,
       taxor_search.cpp:263 + fracminhash_model.cpp:23-33) cannot use the
@@ -141,7 +145,7 @@ def make_hixf_e2e_grouped_fn(groups, leaf_users, k: int, s: int, t: int,
     from .pallas_probe import _probe_call_chunked
 
     @functools.partial(jax.jit, static_argnames=("hcap",))
-    def run(packed_reads, lengths, thr_table, hcap: int):
+    def run(packed_reads, lengths, thr_table, fps, onehots, hcap: int):
         R = packed_reads.shape[0]
         if scheme_kind == "syncmer":
             hi, lo, valid, n_unique, n_emit = _syncmer_hashes(
@@ -162,7 +166,8 @@ def make_hixf_e2e_grouped_fn(groups, leaf_users, k: int, s: int, t: int,
         leaf_sums = []
         poscache: dict = {}  # (seed, bl) -> raw (pos, f4i): subgroups of
         # one level share the position set (trace-time reuse)
-        for g in groups:
+        for gi, g in enumerate(groups):
+            g_fp = fps[gi]
             if descend_all:
                 acts = [ones] * len(g["members"])
                 act_any = ones
@@ -181,7 +186,7 @@ def make_hixf_e2e_grouped_fn(groups, leaf_users, k: int, s: int, t: int,
                 if g.get("poskey") is not None:
                     poscache[g["poskey"]] = cached
             pos_raw, f4i = cached
-            S1 = g["fp"].shape[0]
+            S1 = g_fp.shape[0]
             if g.get("engine", "pallas") == "xla":
                 # VMEM-exceeding tables (at-scale roots whose merged
                 # bins hold the whole database union): probe as an XLA
@@ -192,7 +197,7 @@ def make_hixf_e2e_grouped_fn(groups, leaf_users, k: int, s: int, t: int,
                 from .probe import count_xla
 
                 fp8 = jax.lax.bitcast_convert_type(
-                    g["fp"], jnp.uint8).reshape(S1, -1)
+                    g_fp, jnp.uint8).reshape(S1, -1)
                 fpr8 = (f4i & 0xFF).astype(jnp.uint8)
                 counts = count_xla(fp8, pos_raw, fpr8,
                                    valid & act_any[:, None])
@@ -200,16 +205,16 @@ def make_hixf_e2e_grouped_fn(groups, leaf_users, k: int, s: int, t: int,
                 from .pallas_probe import _probe_call_chunked_p10
 
                 counts = _probe_call_chunked_p10(
-                    g["fp"], pos_raw, f4i, valid & act_any[:, None],
+                    g_fp, pos_raw, f4i, valid & act_any[:, None],
                     g["bl"], g["bt4"], interpret)
             else:
                 pos = jnp.where(valid[..., None], pos_raw,
                                 jnp.int32(S1 - 1))
                 counts = _probe_call_chunked(
-                    g["fp"], pos, f4i, valid & act_any[:, None],
+                    g_fp, pos, f4i, valid & act_any[:, None],
                     g["bt4"], interpret)
             sums = jnp.dot(
-                counts.astype(jnp.float32), g["onehot"],
+                counts.astype(jnp.float32), onehots[gi],
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST,
             ).astype(jnp.int32)

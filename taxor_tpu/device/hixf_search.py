@@ -535,10 +535,15 @@ class DeviceHIXF:
             host_groups, leaf_users = self._build_probe_groups(
                 max_group_b4=128, p10_ok=True)
             groups = []
+            fps = []
+            onehots = []
             for g in host_groups:
+                # the big arrays travel as fn ARGUMENTS — closure
+                # captures would lower them into the HLO as constants
+                # (gigabytes at scale)
+                fps.append(jnp.asarray(g["fp"]))
+                onehots.append(jnp.asarray(g["onehot"]))
                 groups.append(dict(
-                    fp=jnp.asarray(g["fp"]),
-                    onehot=jnp.asarray(g["onehot"]),
                     seed_hi=jnp.uint32(g["seed"] >> 32),
                     seed_lo=jnp.uint32(g["seed"] & 0xFFFFFFFF),
                     bl=jnp.uint32(g["bl"]),
@@ -549,7 +554,7 @@ class DeviceHIXF:
                     members=[(m[0], m[1], m[2], m[3], jnp.asarray(m[4]))
                              for m in g["members"]],
                 ))
-            cache[key] = make_hixf_e2e_grouped_fn(
+            fn = make_hixf_e2e_grouped_fn(
                 groups, jnp.asarray(leaf_users.astype(np.int32)),
                 k=scheme.kmer_size, s=scheme.syncmer_size,
                 t=scheme.t_syncmer, topk=k,
@@ -560,6 +565,7 @@ class DeviceHIXF:
                 scale_thresh=_scale_thresh(scheme),
                 descend_all=descend_all,
             )
+            cache[key] = (fn, tuple(fps), tuple(onehots))
         return cache[key]
 
     def _build_probe_groups(self, col_multiple: int | None = None,
@@ -745,11 +751,13 @@ class DeviceHIXF:
                 tbl_cache[tkey] = jnp.asarray(
                     np.zeros(hcap + 1, dtype=np.int32) if da
                     else self._thr_table(thresholder, hcap))
-            fn = self._hixf_e2e_fn(scheme, k, descend_all=da)
+            fn, fps, onehots = self._hixf_e2e_fn(scheme, k,
+                                                 descend_all=da)
             packed_dev = fn(
                 jnp.asarray(raw_reads),
                 jnp.asarray(lengths.astype(np.int32)),
                 tbl_cache[tkey],
+                fps, onehots,
                 hcap=hcap,
             )
             try:

@@ -261,10 +261,13 @@ def test_mixed_engine_group_matches_pallas(hier_setup):
         host_groups, leaf_users = dhixf._build_probe_groups(
             max_group_b4=128, p10_ok=not force_xla)
         groups = []
+        fps = []
+        onehots = []
         for gi, g in enumerate(host_groups):
             eng = "xla" if (force_xla and gi == 0) else g["engine"]
+            fps.append(jnp.asarray(g["fp"]))
+            onehots.append(jnp.asarray(g["onehot"]))
             groups.append(dict(
-                fp=jnp.asarray(g["fp"]), onehot=jnp.asarray(g["onehot"]),
                 seed_hi=jnp.uint32(g["seed"] >> 32),
                 seed_lo=jnp.uint32(g["seed"] & 0xFFFFFFFF),
                 bl=jnp.uint32(g["bl"]), poskey=g["poskey"],
@@ -279,5 +282,5 @@ def test_mixed_engine_group_matches_pallas(hier_setup):
             t=scheme.t_syncmer, topk=16, interpret=True)
         outs[force_xla] = np.asarray(fn(
             jnp.asarray(packed), jnp.asarray(lengths.astype(np.int32)),
-            tbl, hcap=hcap))
+            tbl, tuple(fps), tuple(onehots), hcap=hcap))
     np.testing.assert_array_equal(outs[True], outs[False])
