@@ -199,8 +199,16 @@ def make_hixf_e2e_grouped_fn(groups, leaf_users, k: int, s: int, t: int,
                 fp8 = jax.lax.bitcast_convert_type(
                     g_fp, jnp.uint8).reshape(S1, -1)
                 fpr8 = (f4i & 0xFF).astype(jnp.uint8)
+                # bound the gathered [R, chunk, 3, bins] intermediate to
+                # ~128 MB — at-scale roots have thousands of padded bins
+                # and the default 128-hash chunk exhausted HBM
+                R_ = pos_raw.shape[0]
+                bins_ = fp8.shape[1]
+                hc = max(8, min(128, (128 << 20) // max(1, R_ * 3
+                                                        * bins_)))
                 counts = count_xla(fp8, pos_raw, fpr8,
-                                   valid & act_any[:, None])
+                                   valid & act_any[:, None],
+                                   hash_chunk=hc)
             elif g.get("p10"):
                 from .pallas_probe import _probe_call_chunked_p10
 

@@ -683,8 +683,16 @@ class DeviceHIXF:
                 for f in fp_parts]
             fp_group = np.concatenate(fp_parts, axis=1)
             b4 = fp_group.shape[1]
+            # engine by row size: a single 128-word column tile of the
+            # packed table must fit scoped VMEM, else the group probes
+            # via the XLA row gather (at-scale roots)
+            xla_rows = (S + 1) * 128 * 4 > 7 * 2 ** 20 and not g_p10
             if col_multiple is not None:
                 target = -(-b4 // col_multiple) * col_multiple
+            elif xla_rows:
+                # gather path: pad bins to lanes only (a 2.6M-slot root
+                # padded to 512 bins would waste 2.8x of its ~0.5 GB)
+                target = -(-b4 // 32) * 32
             else:
                 target = (-(-b4 // 1024) * 1024 if b4 > 384
                           else -(-b4 // 128) * 128)
