@@ -44,9 +44,11 @@ USE_FUSED_EXTRACT = True
 # driven), gather up to R/_TIE_RESCUE_DIV flagged reads into a small
 # static sub-batch and rerun the EXACT stateful tracker (the XLA scan
 # path) on device.  Flagged reads beyond the bucket — or whose exact
-# emission count overflows hcap — still fall back to the host.
+# emission count overflows hcap — still fall back to the host.  The
+# bucket costs ~R/DIV / R of the scan path per pass (~0.5 ms at
+# R=8192, DIV=64) and covers a 1.6% tie rate outright.
 TIE_RESCUE = True
-_TIE_RESCUE_DIV = 32
+_TIE_RESCUE_DIV = 64
 
 
 def _syncmer_hashes(packed_reads, lengths, k, s, t, hcap, interpret):
