@@ -532,8 +532,14 @@ class DeviceHIXF:
             from .pallas_probe import (choose_bin_tile4,
                                        prepare_fingerprints)
 
+            # p10_ok=False: the p10x2 kernel's PAIR-maxed trip counts
+            # would defeat the zero-trip pruning that makes inactive
+            # subgroups free (an active read drags its paired inactive
+            # neighbor through the probe) — measured 13 -> 17 ms on
+            # hier_1024.  Descent groups keep the per-read-trip p16
+            # kernels; the flat paths (all reads active) keep p10x2.
             host_groups, leaf_users = self._build_probe_groups(
-                max_group_b4=128, p10_ok=True)
+                max_group_b4=128, p10_ok=False)
             groups = []
             fps = []
             onehots = []

@@ -254,7 +254,7 @@ def build_ixf(
                 f"{max_elements_per_bin}"
             )
 
-    for _ in range(max_retries):
+    for attempt in range(max_retries):
         if force_python:
             fp = _build_bins_python(bins, seed, block_length, slots)
         else:
@@ -271,6 +271,16 @@ def build_ixf(
             return IXF(fingerprints=fp, block_length=block_length,
                        seed=seed)
         seed = int(murmur64(np.uint64(seed)))
+        if attempt % 8 == 7:
+            # many SMALL bins under one shared seed make reseeding alone
+            # hopeless: at n ~ 300 the finite-size peel failure rate per
+            # bin is ~0.1-0.5%, so with 10^4+ bins EVERY seed has an
+            # expected failure.  Escalate the array size instead — each
+            # +8% step cuts the per-bin failure rate by orders of
+            # magnitude (the reference, which reseeds forever from
+            # random_device, can spin on exactly this shape)
+            max_elements_per_bin = int(max_elements_per_bin * 1.08) + 8
+            block_length, slots = ixf_geometry(max_elements_per_bin)
     raise RuntimeError(
         f"IXF peeling failed after {max_retries} seeds "
         f"(bins={n_bins}, capacity={max_elements_per_bin})"
