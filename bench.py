@@ -13,15 +13,28 @@ host has 2 cores, so a literal 32-thread run here would UNDERstate the
 reference; the literal number is recorded alongside.
 
 Configs (BENCH detail.configs):
-  viral_flat_256   8192 x 2 kb reads, 256-genome flat index (viral-scale;
-                   the narrow-row probe kernel) — the primary metric
-  flat_4096        2048 reads, 4096-genome flat index (probe-dominated;
-                   the wide-row rotate-free kernel)
-  hier_1024        2048 reads, 1024 genomes, chopper-style tmax sweep
-                   layout (multi-level HIXF, fused descent)
-  stress_identical 1024 reads over 64 near-identical genomes: top-k
-                   truncation stress; reports the host-fallback fraction
-                   at k=16 and at the ladder ceiling (k=256)
+  viral_flat_256     8192 x 2 kb reads, 256-genome flat index (viral-
+                     scale; the narrow p10x2 probe kernel) — the primary
+                     metric.  Small L2-resident tables are the CPU's
+                     best case and the scalar core's worst (see
+                     PHASES_r04.md)
+  flat_4096          4096 reads, 4096-genome flat index (wide rotate-
+                     free kernel; unit-run slice instead of the 7 ms
+                     segmentation matmul)
+  flat_16384         16384 reads, 16384-genome flat index — the
+                     RefSeq/GTDB-direction scaling regime where the
+                     CPU's cache-miss row scan degrades faster than the
+                     chip's streaming row XOR
+  hier_1024          2048 reads, 1024 genomes, chopper-style tmax sweep
+                     layout (multi-level HIXF, fused descent)
+  device_layout_1024 the same workload under --layout-cost device: one
+                     VMEM tile holds all 1024 bins, so the DP picks
+                     FLAT (one probe pass) — the tpu-first layout
+  stress_identical   1024 reads over 64 near-identical genomes: top-k
+                     truncation stress (build-time MinHash pre-seed)
+  detail.at_scale    summary of the committed 24.5k-genome / 1 GB-
+                     fingerprint demonstration (ATSCALE_r04.json):
+                     mixed-engine search at 6.4x the 32-thread proxy
 
 Robustness: TPU kernel compiles go through a shared compile service whose
 latency is erratic (observed 0.7s..500s for identical kernels).  Each
@@ -100,13 +113,20 @@ def _build_index(tsv, gdir, layout_mode="flat", tmax=0, threads=8,
 
 
 def _native_baseline(index, seqs, thresholder, sub=None):
-    """(reads/s 1 thread, reads/s literal 32 threads on this host)."""
+    """(reads/s 1 thread, reads/s literal 32 threads on this host).
+
+    The shared bench host's single-thread rate swings +-35% run to run
+    (noisy neighbors); take the BEST of 3 repetitions — the most
+    favorable number for the reference, and far more stable."""
     from taxor_tpu.native.baseline import baseline_search
 
     seqs = seqs if sub is None else seqs[:sub]
-    t0 = time.perf_counter()
-    baseline_search(index.hixf, seqs, index.scheme, thresholder, threads=1)
-    r1 = len(seqs) / (time.perf_counter() - t0)
+    r1 = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        baseline_search(index.hixf, seqs, index.scheme, thresholder,
+                        threads=1)
+        r1 = max(r1, len(seqs) / (time.perf_counter() - t0))
     t0 = time.perf_counter()
     baseline_search(index.hixf, seqs, index.scheme, thresholder,
                     threads=32)
@@ -542,6 +562,24 @@ def main():
                 "host_cores": os.cpu_count(),
             },
         }
+    # at-scale demonstration summary (tools/at_scale_demo.py, run on the
+    # committed 24.5k-genome / 1 GB-fingerprint index): the regime the
+    # reference's real databases live in, where the chip wins outright
+    atscale_path = os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "ATSCALE_r04.json")
+    if os.path.exists(atscale_path):
+        try:
+            a = json.load(open(atscale_path))
+            result["detail"]["at_scale"] = {
+                "n_species": a["gen"]["n_species"],
+                "fingerprint_gb": a["build"]["fingerprint_gb"],
+                "device_reads_per_s": a["search"]["device_reads_per_s"],
+                "baseline_32x_reads_per_s":
+                    a["search"]["baseline_32x_reads_per_s"],
+                "vs_baseline": a["search"]["vs_baseline"],
+            }
+        except Exception:
+            pass
     # trailing copy: survives driver stdout-tail truncation (VERDICT r3
     # weak #5 — BENCH_r03 lost the parity detail to the tail cut)
     result["parity"] = parity
