@@ -144,10 +144,18 @@ def _add_prewarm(sub):
                    help="comma-separated top-k rungs (default: the "
                         "index's suggested rung + the escalation ladder "
                         "start)")
+    p.add_argument("--percentage", type=float, default=-1.0,
+                   help="threshold mode the later search will use — the "
+                        "compiled hierarchical graph is keyed on the "
+                        "thresholder kind (count-table descent vs "
+                        "descend-all), so prewarm must mirror it")
+    p.add_argument("--error-rate", type=float, default=0.04)
     return p
 
 
-def run_prewarm(index_file: str, lengths: str, topk: str) -> None:
+def run_prewarm(index_file: str, lengths: str, topk: str,
+                percentage: float = -1.0,
+                error_rate: float = 0.04) -> None:
     """Drive one tiny batch through every (L-bucket x topk) fused graph;
     compiled executables land in the persistent cache keyed by shape, so
     any later search over the same index geometry is a cache hit."""
@@ -160,8 +168,13 @@ def run_prewarm(index_file: str, lengths: str, topk: str) -> None:
 
     index = load_index(index_file)
     scheme = index.scheme
+    # mirror search's Thresholder.make inputs: the fused graph is keyed
+    # on descend_all (derived from thresholder.kind), so compiling with
+    # a hard-coded mode would miss the cache for e.g. --percentage
+    # searches on a minimizer index (which use descend-all chain-min)
     thresholder = Thresholder.make(scheme.kmer_size, scheme.window_size,
-                                   0.04, -1.0, scheme.use_syncmer)
+                                   error_rate, percentage,
+                                   scheme.use_syncmer)
     dhixf = DeviceHIXF(index.hixf)
     if not dhixf.e2e_capable(thresholder):
         print("prewarm: index not fused-capable; nothing to compile")
@@ -247,7 +260,8 @@ def main(argv: list[str] | None = None) -> int:
                 profile_trace=args.profile_trace,
             ))
         elif args.command == "prewarm":
-            run_prewarm(args.index_file, args.lengths, args.topk)
+            run_prewarm(args.index_file, args.lengths, args.topk,
+                        args.percentage, args.error_rate)
         elif args.command == "profile":
             from .profile.profile import ProfileConfig, run_profile
 

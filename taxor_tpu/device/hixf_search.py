@@ -122,6 +122,10 @@ class DeviceHIXF:
                     ixf_p10 = True
                 if choose_bin_tile4(*packed.shape) is None:
                     ixf_engine = "xla"  # exceeds VMEM; gather fallback
+                    # the p10 flag describes a block-relative PACKED
+                    # layout; the xla path repacks via pad_fingerprints
+                    # (absolute layout), so the flag must not survive
+                    ixf_p10 = False
                 else:
                     fp = packed
                     bins_padded = packed.shape[1] * 4

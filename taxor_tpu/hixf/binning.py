@@ -236,8 +236,10 @@ def _expected_query_cost_device(node: LayoutNode) -> float:
     """Expected per-read probe cost under the TPU engine, in units of
     one narrow VMEM probe pass.
 
-    The device probe is SCALAR-ISSUE bound (~7 ns/hash, pallas_probe
-    p10x2): per level a read pays the column-tile count of the
+    The device probe is SCALAR-ISSUE bound (~12.2 ns/hash reproducible,
+    pallas_probe p10x2 — see PHASES_r04.md §1; an earlier 7 ns reading
+    was a non-reproducing outlier): per level a read pays the
+    column-tile count of the
     fingerprint block it must touch, NOT the per-bin byte count the CPU
     model rewards.  Pruning therefore only helps once a level's block
     exceeds one VMEM tile: at the root every read is active in every

@@ -269,30 +269,19 @@ def search_single(
                 # truncation-driven escalation: if a noticeable fraction
                 # of reads hit the device top-k ceiling (falling back to
                 # the host oracle), widen k for subsequent batches — one
-                # recompile per step of the bounded 16->64->256 ladder
-                # measure fallback on the real reads only: padded rows
-                # have vals==0 / users==0 and would read as truncated
-                kk = vals.shape[1]
-                Rr = len(part)
-                rv = np.asarray(vals)[:Rr]
-                nv = (rv >= 0).sum(axis=1)
-                if minv_sums is None:
-                    fb = ((nv == kk)
-                          & (rv[:, kk - 1].astype(np.float64)
-                             >= rv[:, 0].astype(np.float64) * 0.8)
-                          & (rv[:, 0] > 0))
-                else:
-                    # chain-min candidates carry no 0.8 shortcut (the
-                    # max is over SUMS, which an untruncated slot could
-                    # still exceed) — escalate whenever all k slots are
-                    # real candidates
-                    fb = (nv == kk) & (rv[:, 0] > 0)
-                fb |= np.asarray(n_emit)[:Rr] > hcap
-                if fb.mean() > 0.02:
-                    _escalate_topk(topk)
+                # recompile per step of the bounded 16->64->256 ladder.
+                # The trigger is the decoder's own threshold-aware trunc
+                # set (all k slots >= the exact per-read tau): a proxy
+                # that ignored tau was trivially true in descend-all
+                # mode (chain-min slots are never masked to -1), so any
+                # tree with >= k leaves ratcheted the ladder to 256
+                trunc_out: list = []
                 prs, hcs = _pairs_from_e2e(
                     vals, users, counts, n_emit, gseqs, index, scheme,
-                    thresholder, dfs_rank, hcap, sums=minv_sums)
+                    thresholder, dfs_rank, hcap, sums=minv_sums,
+                    trunc_out=trunc_out)
+                if trunc_out[0].mean() > 0.02:
+                    _escalate_topk(topk)
                 for j, i in enumerate(part):
                     all_pairs[i] = prs[j]
                     hash_counts[i] = hcs[j]
@@ -361,7 +350,8 @@ def _device_dispatch(device_hixf, hash_lists, thresholds):
 
 
 def _pairs_from_e2e(vals, users, counts, n_emit, seqs, index, scheme,
-                    thresholder, dfs_rank, hcap, sums=None):
+                    thresholder, dfs_rank, hcap, sums=None,
+                    trunc_out: list | None = None):
     """Decode the fused end-to-end device result (device/e2e.py).
 
     Device returns top-k RAW run sums; this applies the per-read
@@ -426,6 +416,12 @@ def _pairs_from_e2e(vals, users, counts, n_emit, seqs, index, scheme,
     else:
         trunc = (n == kk) & (
             vals[:, kk - 1].astype(f64) >= vals[:, 0].astype(f64) * 0.8)
+    if trunc_out is not None:
+        # the k-ceiling truncation set (exact, threshold-aware) — the
+        # pipeline's top-k escalation trigger.  hcap overflow is
+        # deliberately excluded: a larger k cannot fix a hash-capacity
+        # fallback, so it must not ratchet the ladder
+        trunc_out.append(trunc)
     need_fallback = (n_emit > hcap) | trunc
     # dfs ordering of the candidate slots (argsort only for multi-hit
     # reads; single-hit reads — the common case — skip it)
