@@ -80,50 +80,135 @@ def _estimate_from_registers(regs: np.ndarray) -> float:
     return e
 
 
-def _union_matrix(bins: list[_Bin], max_merge: int) -> np.ndarray:
-    """U[j', j] = estimated union cardinality of bins j'..j (j'-axis
-    truncated to the merge window)."""
+def _nthreads() -> int:
+    import os
+
+    return max(1, os.cpu_count() or 1)
+
+
+def _union_band(bins: list[_Bin], W: int) -> np.ndarray:
+    """ubT[j, d] = estimated union cardinality of bins (j-d .. j),
+    monotone non-decreasing along d (a superset union cannot shrink;
+    estimator dips are HLL noise — monotonizing makes the DP merge
+    walk's early exit exact).  ubT[j, 0] = max(count_j, est_j), the
+    diagonal the DP's single-bin merges consume.  Entries with d > j
+    are +inf.
+
+    Computed ONCE per layout: children of the recursion are contiguous
+    slices of the same bin order, so a child's band is a row slice of
+    the parent's (the global window (j-d..j) coincides with the local
+    one).  Native kernel in native/layout_dp.cpp; numpy fallback below
+    is the test oracle.
+    """
+    from ..native import get_lib
+
     n = len(bins)
-    U = np.full((n, n), np.inf)
+    regs = np.stack([b.sketch.registers for b in bins])  # [n, m] uint8
+    m = regs.shape[1]
+    P = np.ascontiguousarray(_POW2[regs])  # [n, m] f64, exact pow2
+    counts = np.array([b.count for b in bins], dtype=np.float64)
+    ubT = np.full((n, W), np.inf)
+    lib = get_lib()
+    if lib is not None and hasattr(lib, "hll_union_band"):
+        lib.hll_union_band(P.ctypes.data, counts.ctypes.data, n, m, W,
+                           ubT.ctypes.data, _nthreads())
+        return ubT
     for j in range(n):
-        regs = bins[j].sketch.registers.copy()
-        U[j, j] = max(bins[j].count, _estimate_from_registers(regs))
-        for jp in range(j - 1, max(-1, j - max_merge), -1):
-            np.maximum(regs, bins[jp].sketch.registers, out=regs)
-            U[jp, j] = _estimate_from_registers(regs)
-    return U
+        acc = P[j].copy()
+        prev = max(counts[j], _est_from_pow(acc, m))
+        ubT[j, 0] = prev
+        for d in range(1, min(W - 1, j) + 1):
+            np.minimum(acc, P[j - d], out=acc)
+            e = max(prev, _est_from_pow(acc, m))
+            ubT[j, d] = e
+            prev = e
+    return ubT
 
 
-def _dp_layout(bins: list[_Bin], tmax: int):
+def _est_from_pow(acc: np.ndarray, m: int) -> float:
+    """HLL estimate from the 2^-register representation (union by
+    elementwise min); same formula as _estimate_from_registers."""
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    e = alpha * m * m / acc.sum()
+    if e <= 2.5 * m:
+        zeros = int((acc == 1.0).sum())
+        if zeros:
+            e = m * math.log(m / zeros)
+    return e
+
+
+def _dp_layout(bins: list[_Bin], tmax: int, ubT: np.ndarray | None = None):
     """Returns (max_size, placements) where placements is a list of
     ('split', j, start_bin, n_bins) and ('merge', j_from, j_to, bin)."""
+    from ..native import get_lib
+
     n = len(bins)
     counts = np.array([b.count for b in bins], dtype=np.float64)
-    U = _union_matrix(bins, MAX_MERGE)
+    if ubT is None:
+        ubT = _union_band(bins, min(MAX_MERGE, n))
+    lib = get_lib()
+    if lib is not None and hasattr(lib, "layout_dp"):
+        return _dp_layout_native(lib, counts, ubT, tmax)
+    return _dp_layout_numpy(counts, ubT, tmax)
 
+
+def _dp_layout_native(lib, counts: np.ndarray, ubT: np.ndarray, tmax: int):
+    import ctypes
+
+    n = counts.shape[0]
+    W = ubT.shape[1]
+    counts = np.ascontiguousarray(counts)
+    ubT = np.ascontiguousarray(ubT)
+    kind = np.empty(n, dtype=np.int32)
+    a = np.empty(n, dtype=np.int32)
+    b = np.empty(n, dtype=np.int32)
+    c = np.empty(n, dtype=np.int32)
+    ms = ctypes.c_double()
+    cnt = lib.layout_dp(counts.ctypes.data, n, ubT.ctypes.data, W, tmax,
+                        MAX_SPLIT, ctypes.byref(ms), kind.ctypes.data,
+                        a.ctypes.data, b.ctypes.data, c.ctypes.data,
+                        _nthreads())
+    if cnt < 0:
+        raise RuntimeError("DP backtrack failed")
+    placements = []
+    for idx in range(cnt - 1, -1, -1):  # C++ emits backtrack order
+        if kind[idx] == 0:
+            placements.append(("split", int(a[idx]), int(b[idx]),
+                               int(c[idx])))
+        else:
+            placements.append(("merge", int(a[idx]), int(b[idx]),
+                               int(c[idx])))
+    return float(ms.value), placements
+
+
+def _dp_layout_numpy(counts: np.ndarray, ubT: np.ndarray, tmax: int):
+    """Pure-numpy DP over the union band — the oracle the native kernel
+    is tested against (same transition order and tie-breaking: first
+    minimum in ascending i' / ascending j')."""
+    n = counts.shape[0]
+    W = ubT.shape[1]
     INF = np.inf
-    M = np.full((tmax, n), INF)
-    # back[i][j] = (kind, arg): kind 0 = split from i' (arg=i'),
-    #              kind 1 = merge from j' (arg=j')
-    back_kind = np.full((tmax, n), -1, dtype=np.int8)
-    back_arg = np.full((tmax, n), -1, dtype=np.int32)
+    rows = max(1, min(tmax, n * MAX_SPLIT))
+    M = np.full((rows, n), INF)
+    back_kind = np.full((rows, n), -1, dtype=np.int8)
+    back_arg = np.full((rows, n), -1, dtype=np.int32)
 
     # base row: user bin 0 split across bins 0..i
-    for i in range(min(tmax, MAX_SPLIT)):
+    for i in range(min(rows, MAX_SPLIT)):
         M[i, 0] = math.ceil(counts[0] / (i + 1))
         back_kind[i, 0] = 0
         back_arg[i, 0] = 0
     # merged-at-bin-0 base: bins 0..j all in technical bin 0
-    jmax0 = min(n, MAX_MERGE)
-    M[0, 1:jmax0] = U[0, 1:jmax0]
-    back_kind[0, 1:jmax0] = 1
-    back_arg[0, 1:jmax0] = 0
+    jmax0 = min(n, W)
+    jj = np.arange(1, jmax0)
+    if jj.size:
+        M[0, 1:jmax0] = ubT[jj, jj]
+        back_kind[0, 1:jmax0] = 1
+        back_arg[0, 1:jmax0] = 0
 
-    for i in range(1, tmax):
+    for i in range(1, rows):
         # split transitions, vectorized over j and i'
         lo = max(0, i - MAX_SPLIT + 1)
-        prev = M[lo - 1 : i, :-1] if lo > 0 else M[0:i, :-1]
-        # candidate for splitting user bin j over i'..i given M[i'-1, j-1]
         ip = np.arange(max(1, lo), i + 1)  # i' >= 1 (i'-1 >= 0)
         if ip.size:
             nbins = (i - ip + 1)[:, None]  # [k,1]
@@ -136,19 +221,22 @@ def _dp_layout(bins: list[_Bin], tmax: int):
             back_kind[i, 1:][better] = 0
             back_arg[i, 1:][better] = ip[k_best[better]]
 
-        # merge transitions: for each j, best j' with
-        # max(M[i-1, j'-1], U[j', j])
-        # vectorize over j' blocks
+        # merge transitions: for each j the best j' of
+        # max(M[i-1, j'-1], U[j'..j]); vectorized over j per window
+        # offset d = j - j'.  First-min over ASCENDING j' == largest d
+        # among ties, hence the reversed-axis argmin.
         mprev = M[i - 1]
-        for j in range(1, n):
-            jlo = max(1, j - MAX_MERGE + 1)
-            jp = np.arange(jlo, j + 1)
-            cand = np.maximum(mprev[jp - 1], U[jp, j])
-            kk = int(np.argmin(cand))
-            if cand[kk] < M[i, j]:
-                M[i, j] = cand[kk]
-                back_kind[i, j] = 1
-                back_arg[i, j] = jp[kk]
+        cand = np.full((n, W), INF)
+        for d in range(min(W, n - 1)):
+            j0 = d + 1
+            cand[j0:, d] = np.maximum(mprev[: n - 1 - d], ubT[j0:, d])
+        dbest = (W - 1) - np.argmin(cand[:, ::-1], axis=1)
+        v = cand[np.arange(n), dbest]
+        better = v < M[i]
+        better[0] = False
+        M[i][better] = v[better]
+        back_kind[i][better] = 1
+        back_arg[i][better] = (np.arange(n) - dbest)[better]
 
     # best final row: smallest max-size using at most tmax bins
     i = int(np.argmin(M[:, n - 1]))
@@ -170,8 +258,11 @@ def _dp_layout(bins: list[_Bin], tmax: int):
     return max_size, placements
 
 
-def _build_node(bins: list[_Bin], tmax: int) -> LayoutNode:
-    max_size, placements = _dp_layout(bins, tmax)
+def _build_node(bins: list[_Bin], tmax: int,
+                ubT: np.ndarray | None = None) -> LayoutNode:
+    if ubT is None:
+        ubT = _union_band(bins, min(MAX_MERGE, len(bins)))
+    max_size, placements = _dp_layout(bins, tmax, ubT)
     node = LayoutNode()
     bin_sizes: list[tuple[int, float]] = []
     ntb = 0
@@ -196,12 +287,15 @@ def _build_node(bins: list[_Bin], tmax: int) -> LayoutNode:
                 child_tmax = min(
                     tmax, next_multiple_of_64(max(64, len(members)))
                 )
-                child = _build_node(members, child_tmax)
+                # the child's union band IS the parent's row slice
+                # (contiguous order); no re-sketching down the tree
+                child = _build_node(members, child_tmax,
+                                    ubT[jf : jt + 1])
                 node.children[tb] = child
-                regs = members[0].sketch.registers.copy()
-                for b in members[1:]:
-                    np.maximum(regs, b.sketch.registers, out=regs)
-                bin_sizes.append((tb, _estimate_from_registers(regs)))
+                # merged-bin cardinality straight from the band (the
+                # count-floored, monotonized estimate — >= the raw
+                # register-merge value, so IXF geometry only rounds up)
+                bin_sizes.append((tb, float(ubT[jt, jt - jf])))
     node.num_technical_bins = ntb
     node.max_bin_index = (
         max(bin_sizes, key=lambda t: t[1])[0] if bin_sizes else 0
@@ -305,6 +399,20 @@ def rearrange_bins(entries: list[_Bin]) -> list[_Bin]:
         [_estimate_from_registers(b.sketch.registers) for b in entries]
     )
     regs = np.stack([b.sketch.registers for b in entries])  # [n, m]
+    from ..native import get_lib
+
+    lib = get_lib()
+    if lib is not None and hasattr(lib, "rearrange_chain"):
+        # native chain (layout_dp.cpp): f32 pow2 values are exact
+        # (registers <= 55), union sums accumulate in double like here
+        P32 = np.ascontiguousarray(_POW2[regs].astype(np.float32))
+        order = np.empty(n, dtype=np.int32)
+        start = int(np.argmax([b.count for b in entries]))
+        lib.rearrange_chain(P32.ctypes.data,
+                            np.ascontiguousarray(ests).ctypes.data,
+                            n, regs.shape[1], start, order.ctypes.data,
+                            _nthreads())
+        return [entries[i] for i in order]
     placed = np.zeros(n, dtype=bool)
     cur = int(np.argmax([b.count for b in entries]))
     order = [cur]
@@ -407,6 +515,11 @@ def compute_layout_from_hashes(
 
     cost_fn = (_expected_query_cost_device if cost_model == "device"
                else _expected_query_cost)
+    # ONE union band for the whole sweep: it depends only on the entry
+    # order, so every tmax candidate and every recursion level (row
+    # slices) share it — at 24.5k bins this was most of the 63-minute
+    # round-4 layout wall
+    ubT = _union_band(entries, min(MAX_MERGE, max(1, n)))
     best_node = None
     best_cost = np.inf
     best_t = None
@@ -427,7 +540,7 @@ def compute_layout_from_hashes(
             print(f"## flat\texpected device query cost = "
                   f"{best_cost:.4f}", flush=True)
     for t in candidates:
-        node = _build_node(entries, t)
+        node = _build_node(entries, t, ubT)
         cost = cost_fn(node)
         if verbose:
             print(f"## t_max = {t}\texpected query cost = {cost:.4f}",

@@ -33,7 +33,8 @@ def _cache_dir() -> str:
     return d
 
 
-_SOURCES = ("syncmer_scan.cpp", "xor_peel.cpp", "ref_baseline.cpp")
+_SOURCES = ("syncmer_scan.cpp", "xor_peel.cpp", "ref_baseline.cpp",
+            "layout_dp.cpp")
 
 
 def _compile() -> str | None:
@@ -103,6 +104,25 @@ def get_lib():
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long,
                 ctypes.c_long, ctypes.c_int, ctypes.c_int, ctypes.c_int,
                 ctypes.c_void_p, ctypes.c_void_p,
+            ]
+            lib.hll_union_band.restype = None
+            lib.hll_union_band.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long,
+                ctypes.c_long, ctypes.c_long, ctypes.c_void_p,
+                ctypes.c_int,
+            ]
+            lib.layout_dp.restype = ctypes.c_long
+            lib.layout_dp.argtypes = [
+                ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p,
+                ctypes.c_long, ctypes.c_long, ctypes.c_long,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+            ]
+            lib.rearrange_chain.restype = None
+            lib.rearrange_chain.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long,
+                ctypes.c_long, ctypes.c_long, ctypes.c_void_p,
+                ctypes.c_int,
             ]
             _LIB = lib
         except Exception:

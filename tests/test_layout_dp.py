@@ -95,6 +95,90 @@ class TestDP:
         assert sorted(covered) == list(range(30))
 
 
+class TestNativeDP:
+    """The C++ layout kernels (native/layout_dp.cpp) against the numpy
+    oracle: same band in, identical placements out."""
+
+    def _bins(self, rng, n):
+        counts = rng.integers(100, 20000, n)
+        return _mk_bins(rng, list(counts))
+
+    @pytest.mark.parametrize("n,tmax", [(30, 16), (100, 64), (257, 64),
+                                        (64, 256)])
+    def test_dp_matches_numpy_oracle(self, n, tmax):
+        from taxor_tpu.hixf.binning import (_dp_layout_native,
+                                            _dp_layout_numpy,
+                                            _union_band, MAX_MERGE)
+        from taxor_tpu.native import get_lib
+
+        lib = get_lib()
+        if lib is None or not hasattr(lib, "layout_dp"):
+            pytest.skip("native lib unavailable")
+        rng = np.random.default_rng(n * 31 + tmax)
+        bins = self._bins(rng, n)
+        W = min(MAX_MERGE, n)
+        ubT = _union_band(bins, W)
+        counts = np.array([b.count for b in bins])
+        ms_n, pl_n = _dp_layout_numpy(counts, ubT, tmax)
+        ms_c, pl_c = _dp_layout_native(lib, counts, ubT, tmax)
+        assert ms_c == ms_n
+        assert pl_c == pl_n
+
+    def test_band_matches_numpy(self):
+        from taxor_tpu.hixf import binning as B
+        from taxor_tpu.native import get_lib
+
+        if get_lib() is None:
+            pytest.skip("native lib unavailable")
+        rng = np.random.default_rng(7)
+        bins = self._bins(rng, 40)
+        native = B._union_band(bins, 32)
+        # numpy fallback path
+        P = B._POW2[np.stack([b.sketch.registers for b in bins])]
+        ref = np.full((40, 32), np.inf)
+        for j in range(40):
+            acc = P[j].copy()
+            prev = max(bins[j].count, B._est_from_pow(acc, P.shape[1]))
+            ref[j, 0] = prev
+            for d in range(1, min(31, j) + 1):
+                np.minimum(acc, P[j - d], out=acc)
+                e = max(prev, B._est_from_pow(acc, P.shape[1]))
+                ref[j, d] = e
+                prev = e
+        assert np.allclose(native, ref, rtol=1e-9)
+        # band is monotone along d where finite
+        fin = np.isfinite(native)
+        for j in range(40):
+            row = native[j][fin[j]]
+            assert (np.diff(row) >= 0).all()
+
+    def test_rearrange_matches_numpy(self, monkeypatch):
+        from taxor_tpu.hixf import binning as B
+        from taxor_tpu.native import get_lib
+
+        if get_lib() is None or not hasattr(get_lib(), "rearrange_chain"):
+            pytest.skip("native lib unavailable")
+        rng = np.random.default_rng(11)
+        # overlapping hash sets so similarities are non-trivial
+        pool = rng.integers(0, 2**64, 40000, dtype=np.uint64)
+        bins = []
+        for i in range(60):
+            take = rng.choice(pool.shape[0], rng.integers(500, 4000),
+                              replace=False)
+            h = pool[take]
+            bins.append(_Bin([f"f{i}"], float(h.shape[0]),
+                             make_sketch(h)))
+        native_order = [b.filenames[0]
+                        for b in B.rearrange_bins(list(bins))]
+        monkeypatch.setattr(B, "get_lib", lambda: None, raising=False)
+        import taxor_tpu.native as N
+
+        monkeypatch.setattr(N, "get_lib", lambda: None)
+        numpy_order = [b.filenames[0]
+                       for b in B.rearrange_bins(list(bins))]
+        assert native_order == numpy_order
+
+
 class TestComputeLayout:
     def test_hierarchical_layout(self):
         rng = np.random.default_rng(4)
