@@ -216,7 +216,17 @@ def _suggest_topk(clusters, hash_fn, m: int = 16) -> int:
             share[int(v)] += 1
     g = max(share.values(), default=1)
     if g <= 4:
-        return 16
-    if g <= 16:
-        return 64
-    return 256
+        topk = 16
+    elif g <= 16:
+        topk = 64
+    else:
+        topk = 256
+    # wide indexes truncate from FILTER NOISE, not homology: with B user
+    # bins, ~B * P(fp-count >= tau) bins clear the threshold on pure
+    # false positives, and at >= ~10k bins that regularly fills 16 slots
+    # (measured: every 24.5k-bin at-scale batch escalated 16 -> 64 and
+    # paid a mid-run recompile).  Floor the rung by bin count so the
+    # first batch already runs at the rung it would escalate to.
+    if len(clusters) > 8192:
+        topk = max(topk, 64)
+    return topk

@@ -100,6 +100,32 @@ def _scaling_keep(hi, lo, scale_thresh: int):
     return (vhi < thi) | ((vhi == thi) & (vlo <= tlo))
 
 
+def _emit_members(g, acts, sums, descend_all, active, chain, thr,
+                  leaf_vals, leaf_sums):
+    """Per-member descent bookkeeping shared by the stacked-scan and
+    per-group probe paths: child activation (or chain-min propagation in
+    descend-all mode) and leaf-run emission from the group's run sums."""
+    for (bfs_pos, run_off, _n_runs, children, leaf_sel), act in zip(
+            g["members"], acts):
+        if descend_all:
+            ch = chain[bfs_pos]
+            for local_run, child_pos in children:
+                chain[child_pos] = jnp.minimum(
+                    ch, sums[:, run_off + local_run])
+            if leaf_sel.shape[0]:
+                ls = sums[:, leaf_sel]
+                leaf_sums.append(ls)
+                leaf_vals.append(jnp.minimum(ch[:, None], ls))
+            continue
+        for local_run, child_pos in children:
+            active[child_pos] = act & (
+                sums[:, run_off + local_run] >= thr)
+        if leaf_sel.shape[0]:
+            leaf_vals.append(
+                jnp.where(act[:, None], sums[:, leaf_sel],
+                          jnp.int32(-1)))
+
+
 def make_hixf_e2e_grouped_fn(groups, leaf_users, k: int, s: int, t: int,
                              topk: int, interpret: bool = False,
                              scheme_kind: str = "syncmer",
@@ -119,13 +145,18 @@ def make_hixf_e2e_grouped_fn(groups, leaf_users, k: int, s: int, t: int,
     result is bit-identical to per-IXF probing.
 
     groups: ordered list (ancestors strictly before descendants) of
-      dicts with keys seed_hi/seed_lo/bl (traced u32 scalars),
+      dicts with keys seed_hi/seed_lo/bl (NUMPY u32 scalars),
       bt4/p10/engine (static), members: list of
       (bfs_pos, run_off, n_runs, children [(local_run, child_bfs_pos)],
-       leaf_sel device int32 array of GLOBAL run indices within the
+       leaf_sel NUMPY int32 array of GLOBAL run indices within the
        group's sums).
-    leaf_users: device int32, user bin per concatenated leaf column in
-      group/member order.
+    leaf_users: NUMPY int32, user bin per concatenated leaf column in
+      group/member order.  All of these small metadata arrays MUST be
+      host numpy, not device arrays: a closure-captured device array is
+      lowered into the HLO as an MLIR constant through a blocking
+      device->host sync (~2 s per array over the tunnel; ~199 of them
+      made the 193-IXF at-scale graph take 200-300 s to lower in round
+      4), while numpy constants embed with no device traffic.
 
     The per-group fingerprint tables and one-hots are ARGUMENTS of the
     returned fn (tuples `fps` / `onehots`), NOT closure captures: a
@@ -188,6 +219,64 @@ def make_hixf_e2e_grouped_fn(groups, leaf_users, k: int, s: int, t: int,
                 if g.get("poskey") is not None:
                     poscache[g["poskey"]] = cached
             pos_raw, f4i = cached
+            if g.get("stacked"):
+                # same-geometry subgroups (a split level) probe as ONE
+                # lax.scan over the stacked [G, S1, B4] tables: one
+                # compiled kernel per level geometry, not per subgroup.
+                # Each scan step keeps its own subgroup's member-OR
+                # activity mask, so results are bit-identical to the
+                # unstacked per-group calls.
+                G = g["stacked"]
+                runs_max = g["runs_max"]
+                if descend_all:
+                    act_mat = jnp.ones((G, R), dtype=bool)
+                else:
+                    subacts = []
+                    for mposs in g["sub_members"]:
+                        a = active[mposs[0]]
+                        for p in mposs[1:]:
+                            a = a | active[p]
+                        subacts.append(a)
+                    act_mat = jnp.stack(subacts, axis=0)  # [G, R]
+                S1 = g_fp.shape[1]
+                if g.get("p10"):
+                    from .pallas_probe import _probe_call_chunked_p10
+
+                    def body(carry, xs, bl=g["bl"], bt4=g["bt4"]):
+                        fp_g, oh_g, act_g = xs
+                        counts = _probe_call_chunked_p10(
+                            fp_g, pos_raw, f4i,
+                            valid & act_g[:, None], bl, bt4, interpret)
+                        s = jnp.dot(
+                            counts.astype(jnp.float32), oh_g,
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST,
+                        ).astype(jnp.int32)
+                        return carry, s
+                else:
+                    pos = jnp.where(valid[..., None], pos_raw,
+                                    jnp.int32(S1 - 1))
+
+                    def body(carry, xs, bt4=g["bt4"]):
+                        fp_g, oh_g, act_g = xs
+                        counts = _probe_call_chunked(
+                            fp_g, pos, f4i, valid & act_g[:, None],
+                            bt4, interpret)
+                        s = jnp.dot(
+                            counts.astype(jnp.float32), oh_g,
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST,
+                        ).astype(jnp.int32)
+                        return carry, s
+                _, sums_stack = jax.lax.scan(
+                    body, 0, (g_fp, onehots[gi], act_mat))
+                # [G, R, runs_max] -> [R, G*runs_max]: member run
+                # offsets were re-based to g*runs_max at stacking time
+                sums = sums_stack.transpose(1, 0, 2).reshape(
+                    R, G * runs_max)
+                _emit_members(g, acts, sums, descend_all, active, chain,
+                              thr, leaf_vals, leaf_sums)
+                continue
             S1 = g_fp.shape[0]
             if g.get("engine", "pallas") == "xla":
                 # VMEM-exceeding tables (at-scale roots whose merged
@@ -228,29 +317,12 @@ def make_hixf_e2e_grouped_fn(groups, leaf_users, k: int, s: int, t: int,
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST,
             ).astype(jnp.int32)
-            for (bfs_pos, run_off, _n_runs, children, leaf_sel), act in zip(
-                    g["members"], acts):
-                if descend_all:
-                    ch = chain[bfs_pos]
-                    for local_run, child_pos in children:
-                        chain[child_pos] = jnp.minimum(
-                            ch, sums[:, run_off + local_run])
-                    if leaf_sel.shape[0]:
-                        ls = sums[:, leaf_sel]
-                        leaf_sums.append(ls)
-                        leaf_vals.append(jnp.minimum(ch[:, None], ls))
-                    continue
-                for local_run, child_pos in children:
-                    active[child_pos] = act & (
-                        sums[:, run_off + local_run] >= thr)
-                if leaf_sel.shape[0]:
-                    leaf_vals.append(
-                        jnp.where(act[:, None], sums[:, leaf_sel],
-                                  jnp.int32(-1)))
+            _emit_members(g, acts, sums, descend_all, active, chain,
+                          thr, leaf_vals, leaf_sums)
         allv = jnp.concatenate(leaf_vals, axis=1)
         kk = min(topk, allv.shape[1])
         vals, idx = jax.lax.top_k(allv, kk)
-        users = leaf_users[idx]
+        users = jnp.asarray(leaf_users)[idx]
         users = jnp.where(vals >= 0, users, jnp.int32(-1))
         pad = ((0, 0), (0, topk - kk))
         if descend_all:

@@ -29,11 +29,18 @@ from .probe import count_xla, pad_fingerprints
 
 @dataclass
 class _DeviceIXF:
-    fp: jax.Array  # uint8 [slots, bins_padded] (xla) or packed int32 (pallas)
+    """Per-IXF device state.  Fingerprint packing and the device upload
+    are LAZY (first touch of .fp/.run_onehot): the fused grouped path
+    re-packs its own concatenated tables from the host arrays, so eager
+    per-IXF uploads were ~200 pure-overhead transfers at at-scale tree
+    widths (each device round-trip costs ~0.1-2 s through the tunnel —
+    they dominated DeviceHIXF construction, not the packing math)."""
+
+    pack_fp: object  # () -> numpy packed table (engine-specific layout)
     seed: int
     block_length: int
     bins: int
-    run_onehot: jax.Array  # float32 [bins_padded, n_runs]
+    onehot_host: np.ndarray  # float32 [bins_padded, n_runs]
     run_users: np.ndarray  # int64 [n_runs], -1 for merged runs
     run_children: np.ndarray  # int64 [n_runs], child ixf id for merged runs
     engine: str = "xla"  # 'xla' | 'pallas'
@@ -42,10 +49,41 @@ class _DeviceIXF:
     # n_runs when every run is one technical bin at its own index
     # (flat indexes): the segmentation matmul is then a column slice
     prefix_runs: int = 0
-    # traced geometry scalars for the fused device step
-    seed_hi: jax.Array | None = None
-    seed_lo: jax.Array | None = None
-    bl_u32: jax.Array | None = None
+    # geometry scalars for the fused device step (numpy: device scalars
+    # would lower as MLIR constants via a blocking device->host sync)
+    seed_hi: np.uint32 | None = None
+    seed_lo: np.uint32 | None = None
+    bl_u32: np.uint32 | None = None
+    mesh: object | None = None
+    fp_shape: tuple | None = None  # packed shape, known without packing
+    _fp_dev: object | None = None
+    _onehot_dev: object | None = None
+
+    @property
+    def fp(self):
+        if self._fp_dev is None:
+            fp = self.pack_fp()
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                self._fp_dev = jax.device_put(
+                    fp, NamedSharding(self.mesh, P(None, "bins")))
+            else:
+                self._fp_dev = jnp.asarray(fp)
+        return self._fp_dev
+
+    @property
+    def run_onehot(self):
+        if self._onehot_dev is None:
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                self._onehot_dev = jax.device_put(
+                    self.onehot_host,
+                    NamedSharding(self.mesh, P("bins", None)))
+            else:
+                self._onehot_dev = jnp.asarray(self.onehot_host)
+        return self._onehot_dev
 
 
 def _scale_thresh(scheme) -> int:
@@ -105,33 +143,46 @@ class DeviceHIXF:
         self.num_user_bins = hixf.num_user_bins
         self.dfs_rank = hixf.user_bin_dfs_order()
         self.ixfs: list[_DeviceIXF] = []
+        from .pallas_probe import _LANE, _P10_BLPAD
+        from .probe import LANE as _XLA_LANE
+
         for i, ixf in enumerate(hixf.ixfs):
             starts, ends, users = hixf.runs_of_ixf(i)
             ixf_engine = engine
             ixf_p10 = False
+            S, B = ixf.fingerprints.shape
+            b4 = -(-B // (4 * _LANE)) * _LANE  # packed int32 words
             if ixf_engine == "pallas":
-                packed = prepare_fingerprints(ixf.fingerprints)
                 # narrow tables with small blocks take the p10x2 kernel
-                # (7.2 ns/hash vs 12.9, see pallas_probe); wide tables
-                # keep the rotate-free wide kernel
+                # (see pallas_probe); wide tables keep the rotate-free
+                # wide kernel.  Shapes are known without packing — the
+                # tables themselves pack lazily on first .fp touch.
                 if (USE_P10X2 and mesh is None
                         and p10_eligible(ixf.block_length)
-                        and packed.shape[1] < _WIDE_MIN_B4):
-                    packed = prepare_fingerprints_p10(
-                        ixf.fingerprints, ixf.block_length)
+                        and b4 < _WIDE_MIN_B4):
                     ixf_p10 = True
-                if choose_bin_tile4(*packed.shape) is None:
+                pshape = ((3 * _P10_BLPAD, b4) if ixf_p10
+                          else (S + 1, b4))
+                if choose_bin_tile4(*pshape) is None:
                     ixf_engine = "xla"  # exceeds VMEM; gather fallback
                     # the p10 flag describes a block-relative PACKED
                     # layout; the xla path repacks via pad_fingerprints
                     # (absolute layout), so the flag must not survive
                     ixf_p10 = False
                 else:
-                    fp = packed
-                    bins_padded = packed.shape[1] * 4
+                    bins_padded = b4 * 4
             if ixf_engine == "xla":
-                fp = pad_fingerprints(ixf.fingerprints)
-                bins_padded = fp.shape[1]
+                bins_padded = -(-B // _XLA_LANE) * _XLA_LANE
+                pshape = (S, bins_padded)
+
+            def make_pack(ixf=ixf, eng=ixf_engine, p10=ixf_p10):
+                if eng == "pallas":
+                    if p10:
+                        return prepare_fingerprints_p10(
+                            ixf.fingerprints, ixf.block_length)
+                    return prepare_fingerprints(ixf.fingerprints)
+                return pad_fingerprints(ixf.fingerprints)
+
             n_runs = starts.shape[0]
             prefix_runs = (
                 n_runs if (np.array_equal(starts, np.arange(n_runs))
@@ -146,33 +197,23 @@ class DeviceHIXF:
                 ],
                 dtype=np.int64,
             )
-            if mesh is not None:
-                from jax.sharding import NamedSharding, PartitionSpec as P
-
-                fp_dev = jax.device_put(
-                    fp, NamedSharding(mesh, P(None, "bins"))
-                )
-                onehot_dev = jax.device_put(
-                    onehot, NamedSharding(mesh, P("bins", None))
-                )
-            else:
-                fp_dev = jnp.asarray(fp)
-                onehot_dev = jnp.asarray(onehot)
             self.ixfs.append(
                 _DeviceIXF(
-                    fp=fp_dev,
+                    pack_fp=make_pack,
                     seed=ixf.seed,
                     block_length=ixf.block_length,
                     bins=ixf.bin_count,
-                    run_onehot=onehot_dev,
+                    onehot_host=onehot,
                     run_users=users,
                     run_children=children,
                     engine=ixf_engine,
                     p10=ixf_p10,
                     prefix_runs=prefix_runs,
-                    seed_hi=jnp.uint32(ixf.seed >> 32),
-                    seed_lo=jnp.uint32(ixf.seed & 0xFFFFFFFF),
-                    bl_u32=jnp.uint32(ixf.block_length),
+                    seed_hi=np.uint32(ixf.seed >> 32),
+                    seed_lo=np.uint32(ixf.seed & 0xFFFFFFFF),
+                    bl_u32=np.uint32(ixf.block_length),
+                    mesh=mesh,
+                    fp_shape=pshape,
                 )
             )
         # BFS order from root (index 0); children discovered via run_children
@@ -260,7 +301,7 @@ class DeviceHIXF:
             dixf.seed_hi,
             dixf.seed_lo,
             dixf.bl_u32,
-            bin_tile4=choose_bin_tile4(*dixf.fp.shape),
+            bin_tile4=choose_bin_tile4(*dixf.fp_shape),
             use_p10=dixf.p10,
             prefix_runs=dixf.prefix_runs,
         )
@@ -520,6 +561,61 @@ class DeviceHIXF:
             depths[i] = depths[self.parent[i][0]] + 1
         return depths
 
+    @staticmethod
+    def _stack_host_groups(host_groups):
+        """Stack runs of consecutive probe groups that share
+        (poskey, engine, p10, fp shape) into ONE group with
+        fp [G, S1, B4] / onehot [G, 4*B4, runs_max] and members
+        re-offset to run index g*runs_max + r.  The fused step lax.scans
+        the probe over the G axis, so the executable contains ONE probe
+        kernel per level geometry instead of one per subgroup — at 193
+        IXFs that cut the compiled executable ~10x and with it the
+        compile-service round trip (~30 s compile / ~27 s cached LOAD
+        were the residual cold-start wall once lowering was fixed).
+        Bit-equality: each scan step probes with its own subgroup's
+        member-OR activity mask, exactly like the unstacked calls."""
+        out = []
+        i = 0
+        while i < len(host_groups):
+            g = host_groups[i]
+            key = (g["poskey"], g.get("engine", "pallas"),
+                   g.get("p10", False), g["fp"].shape)
+            j = i + 1
+            while (j < len(host_groups)
+                   and (host_groups[j]["poskey"],
+                        host_groups[j].get("engine", "pallas"),
+                        host_groups[j].get("p10", False),
+                        host_groups[j]["fp"].shape) == key):
+                j += 1
+            if j - i > 1 and g.get("engine", "pallas") == "pallas":
+                sub = host_groups[i:j]
+                G = len(sub)
+                runs_max = max(s["onehot"].shape[1] for s in sub)
+                fp = np.stack([s["fp"] for s in sub])
+                onehot = np.zeros((G, fp.shape[2] * 4, runs_max),
+                                  dtype=np.float32)
+                members = []
+                sub_members = []
+                for gi, s in enumerate(sub):
+                    onehot[gi, :, : s["onehot"].shape[1]] = s["onehot"]
+                    adj = gi * runs_max
+                    for (bfs, run_off, n_runs, kids, leaf_sel) \
+                            in s["members"]:
+                        members.append((bfs, run_off + adj, n_runs, kids,
+                                        leaf_sel + adj))
+                    sub_members.append([m[0] for m in s["members"]])
+                out.append(dict(
+                    fp=fp, onehot=onehot, seed=g["seed"], bl=g["bl"],
+                    poskey=g["poskey"], members=members,
+                    p10=g.get("p10", False), engine="pallas",
+                    stacked=G, runs_max=runs_max,
+                    sub_members=sub_members))
+                i = j
+            else:
+                out.append(g)
+                i += 1
+        return out
+
     def _hixf_e2e_fn(self, scheme, k: int, descend_all: bool = False):
         """Cached hierarchical fused step: IXFs sharing
         (depth, seed, block_length, slots) probe as ONE grouped kernel
@@ -544,28 +640,39 @@ class DeviceHIXF:
             # kernels; the flat paths (all reads active) keep p10x2.
             host_groups, leaf_users = self._build_probe_groups(
                 max_group_b4=128, p10_ok=False)
+            host_groups = self._stack_host_groups(host_groups)
             groups = []
             fps = []
             onehots = []
             for g in host_groups:
                 # the big arrays travel as fn ARGUMENTS — closure
                 # captures would lower them into the HLO as constants
-                # (gigabytes at scale)
+                # (gigabytes at scale).  The SMALL per-member metadata
+                # (seeds, leaf selectors, leaf_users) stays NUMPY: a
+                # closure-captured device array lowers as an MLIR
+                # constant via a blocking device->host sync (~2 s each
+                # through the tunnel — 199 of them were the round-4
+                # "200-300 s trace time" at 193 IXFs), while numpy
+                # constants lower for free
                 fps.append(jnp.asarray(g["fp"]))
                 onehots.append(jnp.asarray(g["onehot"]))
                 groups.append(dict(
-                    seed_hi=jnp.uint32(g["seed"] >> 32),
-                    seed_lo=jnp.uint32(g["seed"] & 0xFFFFFFFF),
-                    bl=jnp.uint32(g["bl"]),
+                    seed_hi=np.uint32(g["seed"] >> 32),
+                    seed_lo=np.uint32(g["seed"] & 0xFFFFFFFF),
+                    bl=np.uint32(g["bl"]),
                     poskey=g["poskey"],
                     p10=g.get("p10", False),
                     engine=g.get("engine", "pallas"),
-                    bt4=choose_bin_tile4(*g["fp"].shape),
-                    members=[(m[0], m[1], m[2], m[3], jnp.asarray(m[4]))
+                    bt4=choose_bin_tile4(*g["fp"].shape[-2:]),
+                    stacked=g.get("stacked", 0),
+                    runs_max=g.get("runs_max", 0),
+                    sub_members=g.get("sub_members"),
+                    members=[(m[0], m[1], m[2], m[3],
+                              np.asarray(m[4], dtype=np.int32))
                              for m in g["members"]],
                 ))
             fn = make_hixf_e2e_grouped_fn(
-                groups, jnp.asarray(leaf_users.astype(np.int32)),
+                groups, leaf_users.astype(np.int32),
                 k=scheme.kmer_size, s=scheme.syncmer_size,
                 t=scheme.t_syncmer, topk=k,
                 interpret=getattr(self, "_interpret", False),
@@ -688,11 +795,7 @@ class DeviceHIXF:
             # pad members to a common slot count (geometry equal =>
             # equal already; defensive for reseeded stragglers)
             S = max(f.shape[0] for f in fp_parts)
-            fp_parts = [
-                np.pad(f, ((0, S - f.shape[0]), (0, 0)))
-                for f in fp_parts]
-            fp_group = np.concatenate(fp_parts, axis=1)
-            b4 = fp_group.shape[1]
+            b4 = sum(f.shape[1] for f in fp_parts)
             # engine by row size: a single 128-word column tile of the
             # packed table must fit scoped VMEM, else the group probes
             # via the XLA row gather (at-scale roots)
@@ -706,12 +809,17 @@ class DeviceHIXF:
             else:
                 target = (-(-b4 // 1024) * 1024 if b4 > 384
                           else -(-b4 // 128) * 128)
-            fp_group = np.pad(fp_group, ((0, 0), (0, target - b4)))
-            if not g_p10:  # p10 tables carry the sentinel zone in-block
-                fp_group = np.vstack([
-                    fp_group,
-                    np.zeros((1, fp_group.shape[1]), np.int32)])
-            B4g = fp_group.shape[1]
+            # assemble into ONE preallocated buffer: member slot/column
+            # padding and the sentinel row fall out of the zero fill
+            # (the np.pad/concatenate/vstack chain copied the ~1 GB
+            # at-scale level three extra times)
+            rows = S if g_p10 else S + 1  # p10 keeps sentinels in-block
+            fp_group = np.zeros((rows, target), dtype=np.int32)
+            off = 0
+            for f in fp_parts:
+                fp_group[: f.shape[0], off : off + f.shape[1]] = f
+                off += f.shape[1]
+            B4g = target
             onehot = np.zeros((4 * B4g, run_off), dtype=np.float32)
             roff = 0
             for b4_off, starts, ends, n_runs in onehot_parts:
@@ -814,7 +922,7 @@ class DeviceHIXF:
             t=scheme.t_syncmer,
             hcap=hcap,
             topk=k,
-            bin_tile4=choose_bin_tile4(*dixf.fp.shape),
+            bin_tile4=choose_bin_tile4(*dixf.fp_shape),
             scheme_kind="syncmer" if scheme.use_syncmer else "minimizer",
             window=scheme.window_size,
             scale_thresh=_scale_thresh(scheme),
@@ -870,7 +978,7 @@ class DeviceHIXF:
                 dixf.seed_hi,
                 dixf.seed_lo,
                 dixf.bl_u32,
-                bin_tile4=choose_bin_tile4(*dixf.fp.shape),
+                bin_tile4=choose_bin_tile4(*dixf.fp_shape),
                 use_p10=dixf.p10,
                 prefix_runs=dixf.prefix_runs,
             )
@@ -951,7 +1059,7 @@ class DeviceHIXF:
                     dixf.fp, batch_dev, jnp.asarray(act),
                     dixf.run_onehot, dixf.seed_hi, dixf.seed_lo,
                     dixf.bl_u32,
-                    bin_tile4=choose_bin_tile4(*dixf.fp.shape),
+                    bin_tile4=choose_bin_tile4(*dixf.fp_shape),
                     use_p10=dixf.p10,
                     prefix_runs=dixf.prefix_runs,
                 )

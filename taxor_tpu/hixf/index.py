@@ -66,7 +66,11 @@ def save_index(path: str, index: TaxorIndex) -> None:
         arrays[f"ixf{i}_fp"] = ixf.fingerprints
         arrays[f"next{i}"] = index.hixf.next_ixf_id[i]
         arrays[f"b2u{i}"] = index.hixf.bin_to_user[i]
-    np.savez_compressed(path, **arrays)
+    # uncompressed: XOR-filter fingerprints are high-entropy (round-4
+    # at-scale index: 0.82 GB deflated vs 1.0 GB raw) and zlib turned a
+    # ~1 s disk read into 12 s of the cold-start budget.  np.load reads
+    # either container, so old compressed indexes keep working.
+    np.savez(path, **arrays)
 
 
 def load_index(path: str) -> TaxorIndex:
