@@ -264,10 +264,17 @@ def _extract_kernel(k: int, s: int, t: int, E: int, W_sort: int,
     ouq_ref[:] = uniq[:, :hcap_k]
 
 
-def _read_tile(Wd: int, R: int) -> int:
-    """Read rows per grid cell: ~60 live [RT, Wd] u32 arrays must stay
-    well under the scoped VMEM budget."""
-    return max(8, min(64, (40_000 // Wd) // 8 * 8, R))
+def _read_tile(Wd: int, W_sort: int, R: int) -> int:
+    """Read rows per grid cell.  Scoped-VMEM stack per row is dominated
+    by the [RT, W_sort] sort/compaction scratch, not the [RT, Wd] phase
+    arrays — measured 23.3 MB at (RT=64, Wd=512, W_sort=2048), i.e.
+    ~364 KB/row, which blew the 16 MB scoped limit on the L=8192 read
+    bucket (the old Wd-only heuristic kept RT=64 there).  Model each
+    row at 64*Wd + 150*W_sort bytes and target ~11 MB so long-read
+    buckets (ONT mixes reach L_CAP=32768) compile with headroom."""
+    per_row = 64 * Wd + 150 * W_sort
+    rt = (11_000_000 // max(1, per_row)) // 8 * 8
+    return max(8, min(64, rt, R))
 
 
 @functools.partial(jax.jit,
@@ -305,7 +312,7 @@ def syncmer_hashes_fused(packed_reads, lengths, k: int, s: int, t: int,
         Wd = 128
     W_sort = max(128, _next_pow2(E * Wd))
     hcap_k = min(hcap, W_sort)
-    RT = _read_tile(Wd, R)
+    RT = _read_tile(Wd, W_sort, R)
     rpad = (-R) % RT
     if rpad:
         words = jnp.pad(words, ((0, rpad), (0, 0)))

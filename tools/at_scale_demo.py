@@ -1,22 +1,28 @@
 #!/usr/bin/env python3
-"""At-scale index demonstration (VERDICT r3 item 3 / BASELINE config-4
-class): build and search a multi-GB HIXF on real hardware.
+"""At-scale index demonstration, round 5 (VERDICT r4 items 1+8): build
+and search a 6+ GB-fingerprint HIXF — the RefSeq-class regime
+(/root/reference/README.md:52, 9.9 GB) — on one real chip, from
+DE-UNIFORMED inputs:
 
-Default shape: 24,576 genomes x 160 kb = ~3.9 GB of sequence,
-~350M syncmers (k=22 s=12), tmax-sweep hierarchical layout, spill
-directory exercised.  Root-level IXFs exceed the VMEM budget and run on
-the XLA-gather engine; leaf levels run the Pallas kernels — the
-mixed-engine traversal is the at-scale search architecture.
+  * log-normal genome lengths 30 kb - 5 Mb (real references span viral
+    to bacterial scale; stresses the DP's merge decisions and per-level
+    max-cardinality geometry),
+  * shared-homology clusters ACROSS taxa (members of a cluster are
+    1-10 %-mutated copies of a base sequence; stresses rearrange/union
+    estimates and near-tied counts),
+  * >= 100k reads with mixed ONT-like lengths streamed from FASTQ.gz
+    through the FULL pipeline (decode, thresholds, fallback, TSV).
 
-Subcommands (so the long phases checkpoint):
-  gen     write genomes + taxonomy + reads       (~10 min, CPU)
-  build   taxor build with phase timings         (~1 h, CPU)
-  search  device + native-baseline search        (chip)
-Results append to ATSCALE_r04.json.
+Subcommands (long phases checkpoint into ATSCALE_r05.json):
+  gen       genomes + taxonomy + reads                  (~10 min, CPU)
+  build     taxor build with phase timings              (< 1 h, CPU)
+  baseline  native single-thread proxies -> modeled 32-thread reference
+  search    cold + warm + sustained pipeline + parity   (chip)
 
-Run: PYTHONPATH=. python tools/at_scale_demo.py gen|build|search
+Run: PYTHONPATH=. python tools/at_scale_demo.py gen|build|baseline|search
 """
 
+import gzip
 import json
 import os
 import sys
@@ -29,12 +35,13 @@ sys.path.insert(0, os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-WORK = os.environ.get("ATSCALE_DIR", os.path.join(ROOT, ".atscale"))
-N_SPECIES = int(os.environ.get("ATSCALE_SPECIES", 24576))
-GENOME_LEN = int(os.environ.get("ATSCALE_GLEN", 160_000))
-N_READS = int(os.environ.get("ATSCALE_READS", 2048))
-READ_LEN = 2000
-RESULT = os.path.join(ROOT, "ATSCALE_r04.json")
+WORK = os.environ.get("ATSCALE_DIR", os.path.join(ROOT, ".atscale5"))
+SEQ_GB = float(os.environ.get("ATSCALE_SEQ_GB", 26.0))
+N_READS = int(os.environ.get("ATSCALE_READS", 100_000))
+PARITY_READS = int(os.environ.get("ATSCALE_PARITY_READS", 512))
+RESULT = os.path.join(ROOT, os.environ.get("ATSCALE_RESULT",
+                                           "ATSCALE_r05.json"))
+BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
 
 
 def log(m):
@@ -50,49 +57,117 @@ def record(key, value):
     log(f"recorded {key}")
 
 
-def gen():
-    from util import BASES, write_fasta
+def _mutate(rng, seq: np.ndarray, rate: float) -> np.ndarray:
+    out = seq.copy()
+    nerr = int(seq.shape[0] * rate)
+    pos = rng.integers(0, seq.shape[0], nerr)  # collisions fine
+    out[pos] = BASES[rng.integers(0, 4, nerr)]
+    return out
 
-    rng = np.random.default_rng(2024)
+
+def gen():
+    """Skewed genomes in homology clusters + mixed-length gz reads."""
+    rng = np.random.default_rng(20250821)
     gdir = os.path.join(WORK, "genomes")
     os.makedirs(gdir, exist_ok=True)
     t0 = time.time()
+    total_target = SEQ_GB * 1e9
+    # log-normal genome lengths, 30 kb - 5 Mb (viral .. bacterial)
+    lengths = []
+    tot = 0.0
+    while tot < total_target:
+        block = np.clip(rng.lognormal(np.log(250e3), 1.0, 1024),
+                        30e3, 5e6).astype(np.int64)
+        lengths.extend(block.tolist())
+        tot += float(block.sum())
+    n = len(lengths)
     rows = []
-    read_recs = []
-    reads_per = max(1, N_READS // min(N_SPECIES, 2048))
-    read_src = set(
-        rng.choice(N_SPECIES, min(N_SPECIES, 2048), replace=False).tolist())
-    for i in range(N_SPECIES):
-        acc = f"GCF_{i:06d}.1"
-        seq = BASES[rng.integers(0, 4, GENOME_LEN)].tobytes()
-        write_fasta(os.path.join(gdir, f"{acc}_genomic.fna"),
-                    [(f"{acc} chromosome", seq)])
-        taxid = str(1000 + i)
-        names = (f"k__Bacteria;p__P{i%7};c__C{i%11};o__O{i%13};"
-                 f"f__F{i%17};g__G{i//10};s__Species {i}")
-        taxids = (f"2;{2000+i%7};{3000+i%11};{4000+i%13};"
-                  f"{5000+i%17};{6000+i//10};{1000+i}")
-        rows.append(f"{acc}\t{taxid}\tftp://x/{acc}_genomic.fna\t"
-                    f"Organism {i}\t{names}\t{taxids}")
-        if i in read_src:
-            arr = np.frombuffer(seq, dtype=np.uint8)
-            for _ in range(reads_per):
-                off = int(rng.integers(0, GENOME_LEN - READ_LEN))
-                r = arr[off : off + READ_LEN].copy()
-                nerr = int(READ_LEN * 0.02)
-                pos = rng.choice(READ_LEN, nerr, replace=False)
-                r[pos] = BASES[rng.integers(0, 4, nerr)]
-                read_recs.append((f"read{len(read_recs)}_{acc}",
-                                  r.tobytes()))
-        if (i + 1) % 4096 == 0:
-            log(f"genomes {i + 1}/{N_SPECIES}")
+    genome_index = []  # (accession, path, length) for read sampling
+    i = 0
+    cluster_id = 0
+    while i < n:
+        # homology cluster: 1-16 taxa share a mutated base sequence
+        csize = int(min(np.clip(rng.geometric(0.3), 1, 16), n - i))
+        clen = max(lengths[i : i + csize])
+        base = BASES[rng.integers(0, 4, clen)]
+        for j in range(csize):
+            gi = i + j
+            acc = f"GCF_{gi:06d}.1"
+            L = lengths[gi]
+            if j == 0:
+                seq = base[:L]
+            else:
+                seq = _mutate(rng, base[:L],
+                              float(rng.uniform(0.01, 0.10)))
+            path = os.path.join(gdir, f"{acc}_genomic.fna")
+            with open(path, "wb") as fh:
+                fh.write(b">" + acc.encode() + b" chromosome\n")
+                fh.write(seq.tobytes())
+                fh.write(b"\n")
+            taxid = str(1000 + gi)
+            names = (f"k__Bacteria;p__P{cluster_id%7};c__C{gi%11};"
+                     f"o__O{gi%13};f__F{gi%17};g__G{cluster_id};"
+                     f"s__Species {gi}")
+            taxids = (f"2;{2000+cluster_id%7};{3000+gi%11};{4000+gi%13};"
+                      f"{5000+gi%17};{6000+cluster_id};{1000+gi}")
+            rows.append(f"{acc}\t{taxid}\tftp://x/{acc}_genomic.fna\t"
+                        f"Organism {gi}\t{names}\t{taxids}")
+            genome_index.append((acc, path, int(L)))
+        i += csize
+        cluster_id += 1
+        if cluster_id % 1000 == 0:
+            log(f"clusters {cluster_id}, genomes {i}/{n}")
     with open(os.path.join(WORK, "taxonomy.tsv"), "w") as fh:
         fh.write("\n".join(rows) + "\n")
-    write_fasta(os.path.join(WORK, "reads.fna"), read_recs[:N_READS])
-    record("gen", dict(n_species=N_SPECIES, genome_len=GENOME_LEN,
-                       seq_gb=round(N_SPECIES * GENOME_LEN / 1e9, 2),
-                       n_reads=len(read_recs[:N_READS]),
-                       wall_s=round(time.time() - t0, 1)))
+    log(f"genomes done: {n} in {cluster_id} clusters")
+
+    # reads: ONT-like length mix (500 b - 8 kb log-normal), 2% errors,
+    # streamed FASTQ.gz; read ids carry the source accession for the
+    # classification-accuracy check
+    src = rng.choice(n, min(n, 8192), replace=False)
+    qual_cache = {}
+    with gzip.open(os.path.join(WORK, "reads.fq.gz"), "wb",
+                   compresslevel=1) as fq:
+        for r in range(N_READS):
+            acc, path, L = genome_index[int(src[r % src.shape[0]])]
+            rl = int(np.clip(rng.lognormal(np.log(2000), 0.6),
+                             500, 8000))
+            rl = min(rl, L - 1)
+            with open(path, "rb") as fh:
+                fh.seek(len(acc) + 13)  # header line
+                off = int(rng.integers(0, L - rl))
+                fh.seek(off, 1)
+                seq = np.frombuffer(fh.read(rl), dtype=np.uint8).copy()
+            seq = _mutate(rng, seq, 0.02)
+            q = qual_cache.get(rl)
+            if q is None:
+                q = qual_cache[rl] = b"I" * rl
+            fq.write(b"@read%d_%s\n" % (r, acc.encode()))
+            fq.write(seq.tobytes() + b"\n+\n" + q + b"\n")
+            if (r + 1) % 20000 == 0:
+                log(f"reads {r + 1}/{N_READS}")
+    # parity subsample as plain FASTA (host-oracle spot check)
+    _write_parity_subset()
+    record("gen", dict(
+        n_species=n, n_clusters=cluster_id,
+        seq_gb=round(sum(lengths) / 1e9, 2),
+        len_min=int(min(lengths)), len_max=int(max(lengths)),
+        len_median=int(np.median(lengths)),
+        n_reads=N_READS, reads="reads.fq.gz (mixed 500b-8kb, 2% err)",
+        wall_s=round(time.time() - t0, 1)))
+
+
+def _write_parity_subset():
+    import itertools
+
+    from taxor_tpu.io.fastx import iter_fastx
+
+    out = os.path.join(WORK, "parity_reads.fna")
+    with open(out, "wb") as fh:
+        for rec in itertools.islice(
+                iter_fastx(os.path.join(WORK, "reads.fq.gz")),
+                PARITY_READS):
+            fh.write(b">" + rec.id.encode() + b"\n" + rec.seq + b"\n")
 
 
 def build():
@@ -127,16 +202,26 @@ def build():
         index_npz_gb=round(os.path.getsize(
             os.path.join(WORK, "index.npz")) / 2**30, 3),
         n_user_bins=hixf.num_user_bins,
+        suggested_topk=index.suggested_topk,
     ))
 
 
 def baseline():
-    """Build-side reference proxy (VERDICT r3 item 9): the reference
-    parallelizes its counting phase over files with OpenMP
-    (taxor_build.cpp:321,386); the per-file work is the same syncmer
-    scan + unique our native scanner runs.  Measure the SINGLE-THREAD
-    native count rate on a file sample and model the 32-thread
-    reference as 32x that rate."""
+    """End-to-end build baseline (VERDICT r4 weak #5): model the
+    32-thread reference build from measured single-thread native rates.
+
+    Reference phases and their parallelism (taxor_build.cpp):
+      counting     OpenMP over genomes (:321,386)        -> 32x scan rate
+      chopper DP   single call, single-threaded          -> 1x our native
+                   (determine_best_number_of_technical_bins :168-233)
+      hixf build   hash recompute + XOR peel; parallel
+                   only across root children (:loop_over_children 74-87)
+                   -> modeled 32x (generous to the reference)
+      serialize    cereal, single-threaded               -> disk-bound 1x
+    The layout-DP proxy reuses OUR C++ kernels' measured wall (chopper's
+    DP is the same algorithm class in C++); counting/peel proxies come
+    from measured single-thread rates on a 128-file sample.
+    """
     import glob
 
     from taxor_tpu.hash import schemes as _schemes
@@ -155,18 +240,47 @@ def baseline():
     _schemes.NUM_THREADS = 1
     build_hashes(seqs[:4], scheme)  # warm the native lib
     t0 = time.time()
-    for q in seqs:  # per-file calls, like the reference's count loop
-        build_hashes([q], scheme)
-    dt = time.time() - t0
-    rate = nbytes / dt / 1e6
-    total = N_SPECIES * GENOME_LEN
+    hashes = [build_hashes([q], scheme) for q in seqs]
+    count_dt = time.time() - t0
+    count_rate = nbytes / count_dt / 1e6  # MB/s single thread
+
+    # single-thread peel rate on the sampled hash sets
+    from taxor_tpu.ixf.xor_filter import build_ixf
+
+    hs = [h for h in hashes if h.shape[0] > 64][:64]
+    n_hashes = sum(h.shape[0] for h in hs)
+    t0 = time.time()
+    build_ixf(hs, threads=1)
+    peel_dt = time.time() - t0
+    peel_rate = n_hashes / peel_dt / 1e6  # M hashes/s single thread
+
+    data = json.load(open(RESULT))
+    seq_gb = data["gen"]["seq_gb"]
+    layout_s = data.get("build", {}).get("phases", {}).get("layout_s")
+    total_hashes_m = seq_gb * 1e9 * 0.092 / 1e6  # syncmer density k22 s12
+    proxy = dict(
+        count_s=round(seq_gb * 1e9 / (32 * count_rate * 1e6), 1),
+        layout_s=layout_s,  # chopper DP ~ our C++ DP, both 1-thread
+        peel_s=round(total_hashes_m / (32 * peel_rate), 1),
+        serialize_s=data.get("build", {}).get("phases", {}).get(
+            "serialize_s"),  # both disk-bound
+    )
+    proxy_wall = sum(v for v in proxy.values() if v)
+    our_wall = data.get("build", {}).get("wall_s")
     record("build_baseline", dict(
         sample_files=len(sample),
-        count_1thread_mb_s=round(rate, 1),
-        proxy_32thread_count_s=round(total / (32 * rate * 1e6), 1),
-        note="reference counting proxy = 32 x single-thread native "
-             "scan+unique rate (taxor_build.cpp:321,386); compare with "
-             "build.phases.count_s (this host has 2 cores)",
+        count_1thread_mb_s=round(count_rate, 1),
+        peel_1thread_mhash_s=round(peel_rate, 2),
+        proxy_phases=proxy,
+        proxy_32thread_wall_s=round(proxy_wall, 1),
+        our_wall_s=our_wall,
+        build_vs_baseline=round(proxy_wall / our_wall, 3)
+        if our_wall else None,
+        note="modeled 32-thread reference build from single-thread "
+             "native rates; layout + serialize modeled 1-thread (the "
+             "reference runs them single-threaded).  This host has 2 "
+             "cores, so our wall pays ~16x less parallelism on count "
+             "and peel.",
     ))
 
 
@@ -184,10 +298,10 @@ def search():
     scheme = index.scheme
     thresholder = Thresholder.make(scheme.kmer_size, scheme.window_size,
                                    0.04, -1.0, scheme.use_syncmer)
-    reads_file = os.path.join(WORK, "reads.fna")
-    seqs = [r.seq for r in read_all(reads_file)]
 
-    # native reference-proxy baseline (subset; x32 single-thread proxy)
+    # native reference-proxy baseline on the parity subset
+    parity_reads = os.path.join(WORK, "parity_reads.fna")
+    seqs = [r.seq for r in read_all(parity_reads)]
     sub = seqs[:128]
     t0 = time.time()
     baseline_search(index.hixf, sub, scheme, thresholder, threads=1)
@@ -196,41 +310,116 @@ def search():
     t0 = time.time()
     dhixf = DeviceHIXF(index.hixf)
     prep_s = time.time() - t0
-    engines = [d.engine + ("/p10" if d.p10 else "") for d in dhixf.ixfs]
     from collections import Counter
 
-    eng_counts = dict(Counter(engines))
+    eng_counts = dict(Counter(
+        d.engine + ("/p10" if d.p10 else "") for d in dhixf.ixfs))
 
+    # cold wall: first batch through the full pipeline (includes group
+    # assembly + lowering + compile-or-cached-load)
+    reads_gz = os.path.join(WORK, "reads.fq.gz")
+    cfg = SearchConfig(engine="device", batch_size=1024)
+    out = open(os.path.join(WORK, "device_parity.tsv"), "w")
+    t0 = time.time()
+    search_single(index, parity_reads, out, cfg, dhixf)
+    cold_wall = time.time() - t0
+    out.close()
+
+    # sustained full pipeline over the 100k-read FASTQ.gz (warm)
     walls = []
-    for attempt in range(2):  # first pass compiles the mixed graph;
-        # the second measures the warm production rate
-        out = open(os.path.join(WORK, "device.tsv"), "w")
+    n_all = None
+    for _ in range(2):
+        out = open(os.path.join(WORK, "device_full.tsv"), "w")
         t0 = time.time()
-        search_single(index, reads_file, out,
-                      SearchConfig(engine="device", batch_size=1024),
-                      dhixf)
+        stats = search_single(index, reads_gz, out, cfg, dhixf)
         walls.append(time.time() - t0)
         out.close()
-    dev_wall = walls[-1]
+    # reads processed (the TSV has one row PER MATCH, so distinct ids)
+    ids = set()
+    with open(os.path.join(WORK, "device_full.tsv")) as fh:
+        next(fh)
+        for line in fh:
+            ids.add(line.split("\t", 1)[0])
+    n_all = len(ids)
+    full_wall = walls[-1]
 
+    # warm device burst rate: repeated in-process batches of 4096 2kb
+    # reads (compute only, no IO/decode)
+    from taxor_tpu.hash import device_syncmer as dsync
+
+    burst_seqs = [s[:2000] for s in seqs if len(s) >= 2000]
+    while len(burst_seqs) < 4096:
+        burst_seqs = burst_seqs + burst_seqs
+    burst_seqs = burst_seqs[:4096]
+    packed, lens_ = dsync.pack_reads(burst_seqs, 2048)
+    k = max(16, int(getattr(index, "suggested_topk", 16)))
+    dhixf.e2e_async(packed, lens_, scheme, thresholder, k=k)()  # warm
+    t0 = time.time()
+    reps = 3
+    for _ in range(reps):
+        dhixf.e2e_async(packed, lens_, scheme, thresholder, k=k)()
+    burst_rate = reps * len(burst_seqs) / (time.time() - t0)
+
+    # classification accuracy on the full run (read ids carry truth;
+    # score each read by its best-count row, like the profile consumes)
+    best: dict = {}
+    with open(os.path.join(WORK, "device_full.tsv")) as fh:
+        next(fh)
+        for line in fh:
+            c = line.split("\t")
+            if c[1] == "-":
+                continue
+            cnt = int(c[7])
+            if cnt > best.get(c[0], (-1, ""))[0]:
+                best[c[0]] = (cnt, c[1])
+    hits = len(best)
+    ok = sum(1 for rid, (_, acc) in best.items()
+             if rid.endswith("_" + acc))
     record("search", dict(
         index_load_s=round(load_s, 1),
         device_prep_s=round(prep_s, 1),
         engines=eng_counts,
-        n_reads=len(seqs),
-        cold_wall_s=round(walls[0], 1),
-        device_wall_s=round(dev_wall, 1),
-        device_reads_per_s=round(len(seqs) / dev_wall, 1),
-        baseline_1thread_reads_per_s=round(r1, 1),
+        topk=k,
+        cold_wall_s=round(cold_wall, 1),
+        n_reads=n_all,
+        full_pipeline_wall_s=round(full_wall, 1),
+        full_pipeline_reads_per_s=round(n_all / full_wall, 1),
+        device_burst_reads_per_s=round(burst_rate, 1),
+        pipeline_vs_burst=round((n_all / full_wall) / burst_rate, 3),
+        baseline_1thread_reads_per_s=round(r1, 2),
         baseline_32x_reads_per_s=round(32 * r1, 1),
-        vs_baseline=round(len(seqs) / dev_wall / (32 * r1), 3),
-        note="cold_wall includes the one-time compile of the mixed "
-             "root-gather + 48-subgroup graph; a known cache-key "
-             "instability makes fresh processes recompile it",
+        vs_baseline=round(n_all / full_wall / (32 * r1), 3),
+        classified_fraction=round(hits / max(1, n_all), 4),
+        correct_of_classified=round(ok / max(1, hits), 4),
     ))
+
+
+def parity():
+    """Host-oracle spot check: device pipeline TSV vs --engine host TSV
+    on the parity subsample must be byte-identical."""
+    from taxor_tpu.hixf.index import load_index
+    from taxor_tpu.search.pipeline import SearchConfig, search_single
+
+    index = load_index(os.path.join(WORK, "index.npz"))
+    parity_reads = os.path.join(WORK, "parity_reads.fna")
+    out = open(os.path.join(WORK, "host_parity.tsv"), "w")
+    t0 = time.time()
+    search_single(index, parity_reads, out,
+                  SearchConfig(engine="host", batch_size=1024), None)
+    host_wall = time.time() - t0
+    out.close()
+    dev = open(os.path.join(WORK, "device_parity.tsv")).read()
+    host = open(os.path.join(WORK, "host_parity.tsv")).read()
+    record("parity", dict(
+        n_reads=PARITY_READS,
+        host_wall_s=round(host_wall, 1),
+        byte_identical=dev == host,
+    ))
+    if dev != host:
+        raise SystemExit("PARITY FAILURE: device != host on subsample")
 
 
 if __name__ == "__main__":
     os.makedirs(WORK, exist_ok=True)
     {"gen": gen, "build": build, "baseline": baseline,
-     "search": search}[sys.argv[1]]()
+     "search": search, "parity": parity}[sys.argv[1]]()
