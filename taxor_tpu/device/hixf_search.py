@@ -469,24 +469,26 @@ class DeviceHIXF:
         state = getattr(self, "_sharded_hixf_state", None)
         if state is None:
             host_groups, leaf_users = self._build_probe_groups(
-                col_multiple=_LANE * nb)
+                col_multiple=_LANE * nb, xla_col_multiple=8 * nb)
             fps, onehots, groups_meta = [], [], []
             ng = len(host_groups)
             seeds_hi = np.zeros(ng, dtype=np.uint32)
             seeds_lo = np.zeros(ng, dtype=np.uint32)
             bls = np.zeros(ng, dtype=np.uint32)
+            engines = []
             for gi, g in enumerate(host_groups):
                 fps.append(jax.device_put(
                     g["fp"], NamedSharding(mesh, P(None, "bins"))))
                 onehots.append(jax.device_put(
                     g["onehot"], NamedSharding(mesh, P("bins", None))))
                 groups_meta.append(g["members"])
+                engines.append(g.get("engine", "pallas"))
                 seeds_hi[gi] = g["seed"] >> 32
                 seeds_lo[gi] = g["seed"] & 0xFFFFFFFF
                 bls[gi] = g["bl"]
             state = self._sharded_hixf_state = dict(
                 fps=tuple(fps), onehots=tuple(onehots),
-                groups_meta=groups_meta,
+                groups_meta=groups_meta, engines=tuple(engines),
                 leaf_users=jnp.asarray(leaf_users.astype(np.int32)),
                 seeds_hi=jnp.asarray(seeds_hi),
                 seeds_lo=jnp.asarray(seeds_lo),
@@ -519,7 +521,8 @@ class DeviceHIXF:
                              else "minimizer"),
                 window=scheme.window_size,
                 scale_thresh=_scale_thresh(scheme),
-                descend_all=da)
+                descend_all=da,
+                engines=state["engines"])
         packed_dev = fn(
             state["fps"], state["onehots"], jnp.asarray(raw_reads),
             jnp.asarray(lengths.astype(np.int32)), thr_tbl,
@@ -687,7 +690,8 @@ class DeviceHIXF:
 
     def _build_probe_groups(self, col_multiple: int | None = None,
                             max_group_b4: int | None = None,
-                            p10_ok: bool = False):
+                            p10_ok: bool = False,
+                            xla_col_multiple: int | None = None):
         """Assemble the level-grouped probe structure on the host.
 
         Groups IXFs by (depth, seed, block_length); members pack tightly
@@ -799,9 +803,18 @@ class DeviceHIXF:
             # engine by row size: a single 128-word column tile of the
             # packed table must fit scoped VMEM, else the group probes
             # via the XLA row gather (at-scale roots)
-            xla_rows = (S + 1) * 128 * 4 > 7 * 2 ** 20 and not g_p10
+            from . import pallas_probe as _pp
+
+            xla_rows = ((S + 1) * 128 * 4 > _pp._FP_VMEM_TILE
+                        and not g_p10)
             if col_multiple is not None:
-                target = -(-b4 // col_multiple) * col_multiple
+                # the sharded path needs each bins-shard to hold whole
+                # 128-lane Pallas tiles; XLA-gather groups only need the
+                # shard split to be exact — padding a multi-GB root to
+                # lane*nb would multiply its footprint
+                cm = (xla_col_multiple
+                      if xla_rows and xla_col_multiple else col_multiple)
+                target = -(-b4 // cm) * cm
             elif xla_rows:
                 # gather path: pad bins to lanes only (a 2.6M-slot root
                 # padded to 512 bins would waste 2.8x of its ~0.5 GB)

@@ -198,7 +198,8 @@ def sharded_hixf_e2e_fn(mesh: Mesh, groups_meta, k: int, s: int,
                         interpret: bool = False,
                         scheme_kind: str = "syncmer", window: int = 0,
                         scale_thresh: int = 0,
-                        descend_all: bool = False):
+                        descend_all: bool = False,
+                        engines=None):
     """HIERARCHICAL fused search over the (reads x bins) mesh with
     LEVEL-GROUPED probing — the multi-chip configuration for multi-level
     indexes too large for one chip's HBM (GTDB-scale, SURVEY.md §7
@@ -225,9 +226,15 @@ def sharded_hixf_e2e_fn(mesh: Mesh, groups_meta, k: int, s: int,
     probe every level unconditionally and return
     [R, 3*topk+2] = [chain-min | leaf sums | users | n_unique | n_emit];
     see e2e.make_hixf_e2e_grouped_fn for the emission equivalence.
+
+    engines: optional per-group list; 'xla' routes that group's probe
+    through the count_xla row gather on each chip's bins shard (VMEM-
+    exceeding at-scale roots — the mixed-engine traversal, sharded),
+    everything else through the Pallas kernel.  Default all-Pallas.
     """
     from ..utils.u64jnp import probe_positions_and_fprint4
     from .pallas_probe import _probe_call_chunked, choose_bin_tile4
+    from .probe import count_xla
 
     n_groups = len(groups_meta)
     leaf_sels = [
@@ -281,10 +288,25 @@ def sharded_hixf_e2e_fn(mesh: Mesh, groups_meta, k: int, s: int,
             pos = jnp.where(valid[..., None], pos, jnp.int32(S1 - 1))
             f4 = jnp.where(valid, f4, jnp.uint32(0x01010101))
             f4i = jax.lax.bitcast_convert_type(f4, jnp.int32)
-            bt4 = choose_bin_tile4(S1, fp_local.shape[1])
-            counts = _probe_call_chunked(
-                fp_local, pos, f4i, valid & act_any[:, None], bt4,
-                interpret)
+            if engines is not None and engines[gi] == "xla":
+                # VMEM-exceeding table: probe this chip's bins shard
+                # with the XLA row gather (mirrors e2e.py's engine
+                # branch; positions/fingerprints identical, so the
+                # psum'd run sums stay bit-identical to single-device)
+                fp8 = jax.lax.bitcast_convert_type(
+                    fp_local, jnp.uint8).reshape(S1, -1)
+                fpr8 = (f4i & 0xFF).astype(jnp.uint8)
+                bins_ = fp8.shape[1]
+                hc = max(8, min(128, (128 << 20)
+                                // max(1, R * 3 * bins_)))
+                counts = count_xla(fp8, pos, fpr8,
+                                   valid & act_any[:, None],
+                                   hash_chunk=hc)
+            else:
+                bt4 = choose_bin_tile4(S1, fp_local.shape[1])
+                counts = _probe_call_chunked(
+                    fp_local, pos, f4i, valid & act_any[:, None], bt4,
+                    interpret)
             part = jnp.dot(
                 counts.astype(jnp.float32), onehots[gi],
                 preferred_element_type=jnp.float32,

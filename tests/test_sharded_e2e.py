@@ -266,6 +266,113 @@ def test_sharded_hixf_descend_all_matches_single_device(hier_fmh_index):
                                       err_msg=name)
 
 
+@pytest.fixture(scope="module")
+def mixed_engine_index(tmp_path_factory):
+    """Multi-level index whose ROOT table exceeds the (test-shrunk)
+    VMEM budget — the at-scale mixed-engine geometry (ATSCALE r4/r5):
+    root on the XLA row gather, leaf levels on the Pallas kernels."""
+    import os
+
+    from taxor_tpu.apps.build import BuildConfig, run_build
+    from taxor_tpu.io.fastx import read_all
+
+    tmp = str(tmp_path_factory.mktemp("sharded_mixed"))
+    rng = np.random.default_rng(23)
+    # ~3-way merged bins: root ~12k slots, leaves ~250 — the shrunk
+    # VMEM budget (see the test) puts the root over and leaves under,
+    # the same decision landscape the multi-GB at-scale roots hit with
+    # the real 7/14 MB budgets
+    tsv, gdir, genomes = make_ref_set(tmp, rng, n_species=192,
+                                      genome_len=30000)
+    reads_file = make_reads(tmp, rng, genomes, n_reads_per_genome=1,
+                            read_len=800, error_rate=0.03)
+    index = run_build(BuildConfig(
+        input_file=tsv, input_sequence_dir=gdir, output_filename="",
+        kmer_size=16, syncmer_size=8, use_syncmer=True,
+        layout_mode="auto", tmax=64,
+        layout_file=os.path.join(tmp, "b.out"),
+    ))
+    assert len(index.hixf.ixfs) > 1
+    reads = [r.seq for r in read_all(reads_file)]
+    return index, reads
+
+
+def test_sharded_mixed_engine_matches_single_device_and_host(
+        mixed_engine_index, monkeypatch):
+    """VERDICT r4 item 4: the at-scale architecture — a multi-level
+    tree whose root exceeds the VMEM budget (shrunk here so a unit-test
+    index trips the same engine decisions the multi-GB production roots
+    do) — through the SHARDED path on the virtual mesh, byte-equal to
+    the single-device mixed-engine step and to the host oracle."""
+    from taxor_tpu.device import pallas_probe as pp
+    from taxor_tpu.device.hixf_search import DeviceHIXF
+    from taxor_tpu.search.thresholds import Thresholder
+
+    index, reads = mixed_engine_index
+    # shrink the VMEM budgets: the ~12k-slot root (0.8 MB group table)
+    # must exceed them while the ~250-slot leaf groups stay under
+    monkeypatch.setattr(pp, "_FP_VMEM_SINGLE", 512 * 1024)
+    monkeypatch.setattr(pp, "_FP_VMEM_TILE", 256 * 1024)
+    scheme = index.scheme
+    thresholder = Thresholder.make(scheme.kmer_size, scheme.window_size,
+                                   0.04, -1.0, scheme.use_syncmer)
+
+    L = pad_len_bucket(max(len(r) for r in reads))
+    packed, lengths = pack_reads(reads, L)
+
+    # single-device: the grouped fused path must route the root group
+    # through the XLA row gather (the engine the e2e step actually uses)
+    ref = DeviceHIXF(index.hixf, engine="pallas")
+    ref._interpret = True
+    sd_groups, _ = ref._build_probe_groups(max_group_b4=128,
+                                           p10_ok=False)
+    assert sd_groups[0]["engine"] == "xla"
+    assert any(g["engine"] == "pallas" for g in sd_groups[1:])
+    assert ref.e2e_capable(thresholder)
+    e_vals, e_users, e_counts, e_nemit, e_hcap = ref.e2e_async(
+        packed, lengths, scheme, thresholder)()
+
+    # sharded: the grouped builder must route the root group to 'xla'
+    mesh = make_mesh(2, 4)
+    dhixf = DeviceHIXF(index.hixf, mesh=mesh)
+    dhixf._interpret = True
+    assert dhixf.e2e_capable(thresholder)
+    vals, users, counts, n_emit, hcap = dhixf.e2e_async(
+        packed, lengths, scheme, thresholder)()
+    engines = dhixf._sharded_hixf_state["engines"]
+    assert engines[0] == "xla" and "pallas" in engines[1:]
+
+    assert hcap == e_hcap
+    # raw equality on reads neither path sent to the host fallback: the
+    # tie-rescue bucket is sized per DISPATCH batch (R/64, min 16), so
+    # a read can be rescued on the mesh (8 per-shard buckets) but
+    # sentinel-flagged single-device; both routes end at the host
+    # oracle, which the pairs check below pins for every read
+    ok = (np.asarray(n_emit) <= hcap) & (np.asarray(e_nemit) <= hcap)
+    assert ok.mean() > 0.5  # the fixture is not all-fallback
+    np.testing.assert_array_equal(np.asarray(counts)[ok],
+                                  np.asarray(e_counts)[ok])
+    np.testing.assert_array_equal(np.asarray(vals)[ok],
+                                  np.asarray(e_vals)[ok])
+    np.testing.assert_array_equal(np.asarray(users)[ok],
+                                  np.asarray(e_users)[ok])
+
+    # host-oracle spot check: decoded pairs equal membership() output
+    from taxor_tpu.search.pipeline import _pairs_from_e2e
+    from taxor_tpu.hash.schemes import search_hashes
+
+    dfs_rank = index.hixf.user_bin_dfs_order()
+    pairs, hcs = _pairs_from_e2e(
+        np.asarray(vals), np.asarray(users), np.asarray(counts),
+        np.asarray(n_emit), reads, index, scheme, thresholder,
+        dfs_rank, hcap)
+    for r, seq in enumerate(reads):
+        hl = search_hashes([seq], scheme)[0]
+        thr = int(thresholder.get(hl.shape[0], 0.0))
+        want = index.hixf.membership(hl, thr)
+        assert sorted(pairs[r]) == sorted(want), f"read {r}"
+
+
 @pytest.fixture(scope="module", params=["kmer", "scaled"])
 def scheme_index(request, tmp_path_factory):
     """Non-default schemes under a mesh: plain k-mers (the reference's
