@@ -47,6 +47,20 @@ MAX_MERGE = 1024
 _SKETCH_BITS = 10
 
 
+def _merge_window(n: int) -> int:
+    """DP merge-window width.  A FIXED cap silently breaks balance at
+    scale: packing n user bins into t technical bins needs merges of
+    ~n/t members, and when n/64 exceeds the cap the DP is forced into
+    window-sized merges with whatever unions the order happens to give
+    — measured on the round-5 skewed 63k-bin build: root max-bin 3x the
+    balanced size, and because every IXF's slot count is 1.23x its MAX
+    bin (the reference's shared geometry, construct_ixf.cpp:28), the
+    whole index padded to 29.5 GB instead of ~9.  Scale the window with
+    n (2x the largest merge the 64-bin sweep floor can need); band and
+    DP costs are linear in it."""
+    return min(n, max(MAX_MERGE, -(-n // 32)))
+
+
 def next_multiple_of_64(n: int) -> int:
     return ((n + 63) // 64) * 64
 
@@ -145,7 +159,7 @@ def _dp_layout(bins: list[_Bin], tmax: int, ubT: np.ndarray | None = None):
     n = len(bins)
     counts = np.array([b.count for b in bins], dtype=np.float64)
     if ubT is None:
-        ubT = _union_band(bins, min(MAX_MERGE, n))
+        ubT = _union_band(bins, _merge_window(n))
     lib = get_lib()
     if lib is not None and hasattr(lib, "layout_dp"):
         return _dp_layout_native(lib, counts, ubT, tmax)
@@ -261,7 +275,7 @@ def _dp_layout_numpy(counts: np.ndarray, ubT: np.ndarray, tmax: int):
 def _build_node(bins: list[_Bin], tmax: int,
                 ubT: np.ndarray | None = None) -> LayoutNode:
     if ubT is None:
-        ubT = _union_band(bins, min(MAX_MERGE, len(bins)))
+        ubT = _union_band(bins, _merge_window(len(bins)))
     max_size, placements = _dp_layout(bins, tmax, ubT)
     node = LayoutNode()
     bin_sizes: list[tuple[int, float]] = []
@@ -519,7 +533,7 @@ def compute_layout_from_hashes(
     # order, so every tmax candidate and every recursion level (row
     # slices) share it — at 24.5k bins this was most of the 63-minute
     # round-4 layout wall
-    ubT = _union_band(entries, min(MAX_MERGE, max(1, n)))
+    ubT = _union_band(entries, _merge_window(max(1, n)))
     best_node = None
     best_cost = np.inf
     best_t = None
