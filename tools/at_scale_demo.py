@@ -348,9 +348,9 @@ def search():
     from taxor_tpu.hash import device_syncmer as dsync
 
     burst_seqs = [s[:2000] for s in seqs if len(s) >= 2000]
-    while len(burst_seqs) < 4096:
+    while len(burst_seqs) < 2048:
         burst_seqs = burst_seqs + burst_seqs
-    burst_seqs = burst_seqs[:4096]
+    burst_seqs = burst_seqs[:2048]
     packed, lens_ = dsync.pack_reads(burst_seqs, 2048)
     k = max(16, int(getattr(index, "suggested_topk", 16)))
     dhixf.e2e_async(packed, lens_, scheme, thresholder, k=k)()  # warm
