@@ -212,8 +212,11 @@ def _dp_layout_numpy(counts: np.ndarray, ubT: np.ndarray, tmax: int):
         M[i, 0] = math.ceil(counts[0] / (i + 1))
         back_kind[i, 0] = 0
         back_arg[i, 0] = 0
-    # merged-at-bin-0 base: bins 0..j all in technical bin 0
-    jmax0 = min(n, W)
+    # merged-at-bin-0 base: bins 0..j all in technical bin 0.  The full
+    # span (j == n-1) is excluded — it ties the optimum on plateaued
+    # union bands and recurses into a child identical to its parent
+    # (see the native kernel's comment)
+    jmax0 = min(n - 1, W)
     jj = np.arange(1, jmax0)
     if jj.size:
         M[0, 1:jmax0] = ubT[jj, jj]

@@ -138,8 +138,14 @@ long layout_dp(const double* counts, long n, const double* ubT, long W,
         bk[(size_t)i * n] = 0;
         ba[(size_t)i * n] = 0;
     }
-    // base: user bins 0..j all merged into technical bin 0
-    long jmax0 = std::min(n, W);
+    // base: user bins 0..j all merged into technical bin 0.  The FULL
+    // span (j == n-1) is excluded: a one-bin layout holding everything
+    // recurses into a child identical to its parent (the monotone band
+    // makes it TIE the optimum whenever unions plateau — near-identical
+    // or heavily-scaled inputs — and first-min tie-breaking then picks
+    // it, an infinite recursion).  It is also pointless: same max size,
+    // one extra level of indirection.
+    long jmax0 = std::min(n - 1, W);
     for (long j = 1; j < jmax0; j++) {
         M[j] = ubT[(size_t)j * W + j];
         bk[j] = 1;
