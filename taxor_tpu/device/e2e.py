@@ -287,8 +287,14 @@ def make_hixf_e2e_grouped_fn(groups, leaf_users, k: int, s: int, t: int,
                 # byte-exactly (bin 4w+j = byte j of word w).
                 from .probe import count_xla
 
-                fp8 = jax.lax.bitcast_convert_type(
-                    g_fp, jnp.uint8).reshape(S1, -1)
+                # xla-engine tables arrive as native uint8 from the
+                # host (a device-side bitcast materializes a widened
+                # 4-bytes-per-byte copy on TPU — 19.3 GB for a 2.25 GB
+                # at-scale root); the bitcast fallback remains only for
+                # legacy packed callers
+                fp8 = (g_fp if g_fp.dtype == jnp.uint8 else
+                       jax.lax.bitcast_convert_type(
+                           g_fp, jnp.uint8).reshape(S1, -1))
                 fpr8 = (f4i & 0xFF).astype(jnp.uint8)
                 # bound the gathered [R, chunk, 3, bins] intermediate to
                 # ~128 MB — at-scale roots have thousands of padded bins

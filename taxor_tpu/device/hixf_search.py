@@ -666,7 +666,8 @@ class DeviceHIXF:
                     poskey=g["poskey"],
                     p10=g.get("p10", False),
                     engine=g.get("engine", "pallas"),
-                    bt4=choose_bin_tile4(*g["fp"].shape[-2:]),
+                    bt4=(None if g.get("engine") == "xla"
+                         else choose_bin_tile4(*g["fp"].shape[-2:])),
                     stacked=g.get("stacked", 0),
                     runs_max=g.get("runs_max", 0),
                     sub_members=g.get("sub_members"),
@@ -816,9 +817,10 @@ class DeviceHIXF:
                       if xla_rows and xla_col_multiple else col_multiple)
                 target = -(-b4 // cm) * cm
             elif xla_rows:
-                # gather path: pad bins to lanes only (a 2.6M-slot root
-                # padded to 512 bins would waste 2.8x of its ~0.5 GB)
-                target = -(-b4 // 32) * 32
+                # gather path: count_xla has no lane requirement (plain
+                # row gather + elementwise); pad words to 8 (32 bins)
+                # only — at 37M slots every padded word costs ~150 MB
+                target = -(-b4 // 8) * 8
             else:
                 target = (-(-b4 // 1024) * 1024 if b4 > 384
                           else -(-b4 // 128) * 128)
@@ -843,6 +845,15 @@ class DeviceHIXF:
             from .pallas_probe import choose_bin_tile4 as _cbt4
 
             g_engine = "pallas" if _cbt4(*fp_group.shape) else "xla"
+            if g_engine == "xla":
+                # the row-gather engine consumes BYTES: ship the table
+                # as native uint8 [S1, 4*B4g].  A device-side
+                # bitcast(int32 -> u8) materializes a WIDENED copy on
+                # TPU (observed: u32[37M, 32, 4] = 4 bytes per byte,
+                # 19.3 GB for a 2.25 GB at-scale root -> HBM OOM at
+                # compile); a host-side view is free and uploads packed
+                fp_group = np.ascontiguousarray(
+                    fp_group).view(np.uint8).reshape(rows, 4 * B4g)
             groups.append(dict(
                 fp=fp_group, onehot=onehot, seed=gk[1], bl=gk[2],
                 poskey=(gk[1], gk[2]), members=members_meta, p10=g_p10,

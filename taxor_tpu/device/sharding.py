@@ -292,9 +292,12 @@ def sharded_hixf_e2e_fn(mesh: Mesh, groups_meta, k: int, s: int,
                 # VMEM-exceeding table: probe this chip's bins shard
                 # with the XLA row gather (mirrors e2e.py's engine
                 # branch; positions/fingerprints identical, so the
-                # psum'd run sums stay bit-identical to single-device)
-                fp8 = jax.lax.bitcast_convert_type(
-                    fp_local, jnp.uint8).reshape(S1, -1)
+                # psum'd run sums stay bit-identical to single-device).
+                # Tables arrive as native uint8 (device-side bitcasts
+                # materialize widened copies on TPU)
+                fp8 = (fp_local if fp_local.dtype == jnp.uint8 else
+                       jax.lax.bitcast_convert_type(
+                           fp_local, jnp.uint8).reshape(S1, -1))
                 fpr8 = (f4i & 0xFF).astype(jnp.uint8)
                 bins_ = fp8.shape[1]
                 hc = max(8, min(128, (128 << 20)
