@@ -318,7 +318,11 @@ def search():
     # cold wall: first batch through the full pipeline (includes group
     # assembly + lowering + compile-or-cached-load)
     reads_gz = os.path.join(WORK, "reads.fq.gz")
-    cfg = SearchConfig(engine="device", batch_size=1024)
+    # bigger batches amortize the per-dispatch round-trip latency
+    # (~140 ms through this rig's tunnel) across the per-length-bucket
+    # sub-batches the mixed-length reads split into
+    bsz = int(os.environ.get("ATSCALE_BATCH", 1024))
+    cfg = SearchConfig(engine="device", batch_size=bsz)
     out = open(os.path.join(WORK, "device_parity.tsv"), "w")
     t0 = time.time()
     search_single(index, parity_reads, out, cfg, dhixf)
