@@ -20,8 +20,10 @@ Documented deviations from chopper:
   - union estimates come from HLL sketches built over the *index* hash
     sets (dna4 path) rather than a separate dna5 counting pass — layout
     sizing only, classification output is unaffected,
-  - transition ranges are capped (MAX_SPLIT, MAX_MERGE) to bound the
-    Python DP; chopper searches the full range,
+  - transition ranges are capped (MAX_SPLIT; merge window =
+    _merge_window(n), scaling with n so balance survives at scale)
+    where chopper searches the full range; the degenerate full-span
+    one-bin merge is excluded (see _merge_window / the DP base case),
   - similarity-based user-bin rearrangement uses greedy HLL-Jaccard
     nearest-neighbor chaining (see ``rearrange_bins``) instead of
     chopper's interval-wise agglomerative clustering,
