@@ -285,6 +285,11 @@ def baseline():
 
 
 def search():
+    # persist compiled executables like the CLI does — without this the
+    # demo re-paid the compile service's ~3 min/graph on every session
+    from taxor_tpu.cli import _enable_persistent_compile_cache
+
+    _enable_persistent_compile_cache()
     from taxor_tpu.device.hixf_search import DeviceHIXF
     from taxor_tpu.hixf.index import load_index
     from taxor_tpu.io.fastx import read_all
